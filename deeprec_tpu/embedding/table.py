@@ -1,0 +1,588 @@
+"""Device-resident collision-free hash embedding table — the EmbeddingVariable.
+
+TPU-native re-design of the reference's EmbeddingVar engine
+(core/framework/embedding/embedding_var.h:53, kv_interface.h:42,
+cpu_hash_map_kv.h:25).  Instead of a C++ lockless hash map mutated in place by
+op kernels, the table is an immutable JAX pytree of fixed-capacity arrays
+living in TPU HBM, updated functionally inside jit:
+
+  * ``keys``     [C]    — open-addressing (triangular-probe) hash table.
+  * ``values``   [C, D] — embedding rows, row i belongs to ``keys[i]``.
+  * ``slots``    {name: [C, D]} — optimizer slot variables (accumulators etc.)
+                 sharing the key space, like the reference's "slot EVs saved as
+                 <name>/Adagrad" (docs_en/Embedding-Variable-Export-Format.md).
+  * ``freqs`` / ``versions`` [C] — the FeatureDescriptor metadata plane
+    (feature_descriptor.h:39): access counts and last-update step, powering
+    admission filters, WithCounts optimizers, TTL eviction and tiering.
+  * ``cbf``      [M]    — counting-Bloom-filter for pre-admission counting
+    (bloom_filter_policy.h:33); keys below the threshold never pollute the
+    main table.
+
+Dynamic growth (the "dynamic-shape" property of EmbeddingVariable) is realized
+as host-mediated capacity doubling between steps (``maybe_grow``): XLA needs
+static shapes, so the table grows by rebuild-and-rehash at powers of two —
+amortized O(1), a handful of recompiles over a job's lifetime.
+
+Batched lookup-or-insert is deterministic under SPMD: intra-batch claim races
+are resolved by scatter-min on candidate index, so every replica that executes
+the same batch computes the identical table.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from deeprec_tpu import config as cfg
+from deeprec_tpu.ops import hashing
+
+
+# Number of probe rounds before an insert is declared failed (overflow).  At
+# load factor <= 0.75 triangular probing resolves in a few rounds; overflow
+# increments ``growth_hint`` and the trainer grows the table between steps.
+MAX_PROBE = 64
+
+
+def empty_key(dtype) -> int:
+    """Reserved sentinel (like dense_hash_map's empty_key)."""
+
+    return int(jnp.iinfo(dtype).min)
+
+
+class EmbeddingTable(struct.PyTreeNode):
+    """Functional embedding-table state.  All arrays live on device."""
+
+    keys: jnp.ndarray                 # [C] key_dtype
+    values: jnp.ndarray               # [C, D] value_dtype
+    slots: Dict[str, jnp.ndarray]     # optimizer slot values, each [C, D] or [C, 1]
+    freqs: Optional[jnp.ndarray]      # [C] int32
+    versions: Optional[jnp.ndarray]   # [C] int32
+    touched: Optional[jnp.ndarray]    # [C] bool — incremental-ckpt recorder
+    cbf: Optional[jnp.ndarray]        # [M] counting bloom filter
+    default_rows: jnp.ndarray         # [default_value_dim, D] deterministic init pool
+    size: jnp.ndarray                 # [] int32 live entries
+    growth_hint: jnp.ndarray          # [] int32 — #failed inserts since last grow
+
+    name: str = struct.field(pytree_node=False)
+    dim: int = struct.field(pytree_node=False)
+    option: cfg.EmbeddingVariableOption = struct.field(pytree_node=False)
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def key_dtype(self):
+        return self.keys.dtype
+
+    @property
+    def value_dtype(self):
+        return self.values.dtype
+
+    @property
+    def empty(self) -> int:
+        return empty_key(self.keys.dtype)
+
+
+class Lookup(struct.PyTreeNode):
+    """Result of the id-resolution phase.
+
+    The split between id resolution and value collection mirrors the
+    reference's ``_OPT_KvResourceLookupID`` / ``_OPT_KvResourceCollectEmbedding``
+    joint-optimization pass (core/graph/embedding_pass.cc:35): forward and
+    backward share the resolved slots, and gradients flow to the *gathered*
+    [U, D] rows rather than a dense [C, D] buffer.
+    """
+
+    uids: jnp.ndarray        # [U] unique ids (padded with EMPTY)
+    counts: jnp.ndarray      # [U] int32 occurrence counts within the batch
+    inverse: jnp.ndarray     # [N] int32 mapping original positions -> unique row
+    slot_ids: jnp.ndarray    # [U] int32 in [0, C), or C for no-slot
+    admitted: jnp.ndarray    # [U] bool — trainable this step
+    valid: jnp.ndarray       # [U] bool — non-padding
+
+
+# ---------------------------------------------------------------------------
+# Construction
+
+
+def _make_default_rows(option: cfg.EmbeddingVariableOption, dim: int, dtype) -> jnp.ndarray:
+    io = option.init
+    n = max(int(io.default_value_dim), 1)
+    key = jax.random.PRNGKey(io.seed)
+    if io.initializer == "truncated_normal":
+        rows = jax.random.truncated_normal(key, -2.0, 2.0, (n, dim), jnp.float32) * io.stddev
+    elif io.initializer == "uniform":
+        rows = jax.random.uniform(key, (n, dim), jnp.float32, io.minval, io.maxval)
+    elif io.initializer == "zeros":
+        rows = jnp.zeros((n, dim), jnp.float32)
+    elif io.initializer == "constant":
+        rows = jnp.full((n, dim), io.constant, jnp.float32)
+    else:
+        raise ValueError(f"unknown initializer {io.initializer!r}")
+    return rows.astype(dtype)
+
+
+def _cbf_num_counters(option: cfg.CBFFilterOption) -> int:
+    # Standard Bloom sizing: m = -n ln p / (ln 2)^2, rounded up to power of 2.
+    import math
+
+    n = max(option.max_element_size, 1)
+    p = min(max(option.false_positive_probability, 1e-9), 0.5)
+    m = int(-n * math.log(p) / (math.log(2.0) ** 2))
+    return 1 << max(10, (m - 1).bit_length())
+
+
+def _cbf_num_hashes(option: cfg.CBFFilterOption) -> int:
+    import math
+
+    m = _cbf_num_counters(option)
+    k = max(1, round(m / max(option.max_element_size, 1) * math.log(2.0)))
+    return min(k, 8)
+
+
+def create(
+    name: str,
+    dim: int,
+    *,
+    key_dtype=jnp.int32,
+    value_dtype=jnp.float32,
+    option: Optional[cfg.EmbeddingVariableOption] = None,
+    capacity: Optional[int] = None,
+) -> EmbeddingTable:
+    """Create an empty embedding table.
+
+    Equivalent of ``tf.get_embedding_variable`` (variable_scope.py:2147) +
+    ``InitializeKvVariableOp`` (core/ops/kv_variable_ops.cc).
+    """
+
+    option = option or cfg.EmbeddingVariableOption()
+    c = int(capacity or option.initial_capacity)
+    if c & (c - 1):
+        raise ValueError(f"capacity must be a power of two, got {c}")
+    emp = empty_key(key_dtype)
+    tbl = EmbeddingTable(
+        keys=jnp.full((c,), emp, key_dtype),
+        values=jnp.zeros((c, dim), value_dtype),
+        slots={},
+        freqs=jnp.zeros((c,), jnp.int32) if option.record_freq else None,
+        versions=jnp.zeros((c,), jnp.int32) if option.record_version else None,
+        touched=jnp.zeros((c,), jnp.bool_) if option.record_touched else None,
+        cbf=(
+            jnp.zeros((_cbf_num_counters(option.cbf_filter),), jnp.int32)
+            if option.cbf_filter is not None
+            else None
+        ),
+        default_rows=_make_default_rows(option, dim, value_dtype),
+        size=jnp.zeros((), jnp.int32),
+        growth_hint=jnp.zeros((), jnp.int32),
+        name=name,
+        dim=dim,
+        option=option,
+    )
+    return tbl
+
+
+def with_slot(table: EmbeddingTable, slot_name: str, width: Optional[int] = None,
+              init: float = 0.0) -> EmbeddingTable:
+    """Attach an optimizer slot variable sharing the table's key space."""
+
+    if slot_name in table.slots:
+        return table
+    w = table.dim if width is None else width
+    slot = jnp.full((table.capacity, w), init, table.value_dtype)
+    return table.replace(slots={**table.slots, slot_name: slot})
+
+
+# ---------------------------------------------------------------------------
+# Probing
+
+
+def _probe_slots(h0: jnp.ndarray, r: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Triangular probing: h + r(r+1)/2 mod C visits every slot for C=2^k."""
+
+    off = (r * (r + 1)) // 2
+    return (h0 + off) & (capacity - 1)
+
+
+def _find_or_insert(
+    keys: jnp.ndarray,
+    ids: jnp.ndarray,
+    may_insert: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched deterministic lookup-or-insert.
+
+    Returns (new_keys, slot_ids [U] int32 with C = not-found, inserted [U] bool,
+    n_failed [] int32).  ``ids`` must be unique (deduplicated by the caller);
+    intra-batch slot races are resolved deterministically by scatter-min on the
+    candidate's position, so the result is identical on every SPMD replica.
+    Equivalent of LocklessHashMap::Lookup/Insert on CPU (cpu_hash_map_kv.h) and
+    cuco::dynamic_map insert on GPU (gpu_hash_table.cu.cc:98).
+    """
+
+    capacity = keys.shape[0]
+    n = ids.shape[0]
+    h0 = hashing.bucket(ids, capacity).astype(jnp.int32)
+    no_slot = jnp.int32(capacity)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(state):
+        keys_, slots_, pending, inserted, r = state
+        return jnp.logical_and(r < MAX_PROBE, jnp.any(pending))
+
+    def body(state):
+        keys_, slots_, pending, inserted, r = state
+        slot = _probe_slots(h0, r, capacity)
+        cur = keys_.at[slot].get(mode="fill", fill_value=0)
+        hit = pending & (cur == ids)
+        slots_ = jnp.where(hit, slot, slots_)
+        pending = pending & ~hit
+
+        is_empty_slot = cur == empty_key(keys_.dtype)
+        wants = pending & is_empty_slot & may_insert
+        # Deterministic claim: lowest candidate index wins each slot.
+        claim = jnp.full((capacity,), n, jnp.int32)
+        claim = claim.at[jnp.where(wants, slot, no_slot)].min(idx, mode="drop")
+        won = wants & (claim.at[slot].get(mode="fill", fill_value=n) == idx)
+        keys_ = keys_.at[jnp.where(won, slot, no_slot)].set(ids, mode="drop")
+        slots_ = jnp.where(won, slot, slots_)
+        inserted = inserted | won
+        pending = pending & ~won
+        # Lookup-only ids stopping at an empty slot are resolved as not-found.
+        done_missing = pending & is_empty_slot & ~may_insert
+        pending = pending & ~done_missing
+        return keys_, slots_, pending, inserted, r + 1
+
+    init = (
+        keys,
+        jnp.full((n,), no_slot, jnp.int32),
+        valid,
+        jnp.zeros((n,), jnp.bool_),
+        jnp.int32(0),
+    )
+    keys, slots_out, pending, inserted, _ = jax.lax.while_loop(cond, body, init)
+    n_failed = jnp.sum(pending & may_insert).astype(jnp.int32)
+    return keys, slots_out, inserted, n_failed
+
+
+def _find(keys: jnp.ndarray, ids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Read-only probe: slot ids, C = not found.  Used by serving/export."""
+
+    _, slots, _, _ = _find_or_insert(keys, ids, jnp.zeros_like(valid), valid)
+    return slots
+
+
+# ---------------------------------------------------------------------------
+# Counting-Bloom-filter admission (bloom_filter_policy.h:33)
+
+
+def _cbf_probe(cbf: jnp.ndarray, ids: jnp.ndarray, k: int) -> jnp.ndarray:
+    m = cbf.shape[0]
+    est = None
+    for i in range(k):
+        pos = hashing.bucket(ids, m, salt=101 + i)
+        c = cbf.at[pos].get(mode="fill", fill_value=0)
+        est = c if est is None else jnp.minimum(est, c)
+    return est
+
+
+def _cbf_add(cbf: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
+             valid: jnp.ndarray, k: int) -> jnp.ndarray:
+    m = cbf.shape[0]
+    safe_counts = jnp.where(valid, counts, 0)
+    for i in range(k):
+        pos = hashing.bucket(ids, m, salt=101 + i)
+        cbf = cbf.at[jnp.where(valid, pos, m)].add(safe_counts, mode="drop")
+    return cbf
+
+
+# ---------------------------------------------------------------------------
+# Lookup phases
+
+
+def unique_ids(ids: jnp.ndarray, empty: int, size: Optional[int] = None):
+    """Static-shape dedup: (uids, counts, inverse).  Padding uses ``empty``."""
+
+    size = size or ids.shape[0]
+    uids, inverse, counts = jnp.unique(
+        ids, return_inverse=True, return_counts=True, size=size, fill_value=empty
+    )
+    return uids, counts.astype(jnp.int32), inverse.astype(jnp.int32)
+
+
+def _lookup_phase(
+    table: EmbeddingTable,
+    ids: jnp.ndarray,
+    *,
+    step: jnp.ndarray | int = 0,
+    train: bool = True,
+) -> Tuple[EmbeddingTable, Lookup]:
+    """Resolve a batch of raw (possibly duplicated) ids to table slots.
+
+    In training mode this inserts new keys, counts frequencies, runs admission
+    filters, and initializes fresh rows from the deterministic default pool —
+    the work of EmbeddingVar::LookupOrCreateKey + FilterPolicy::Lookup
+    (embedding_var.h:202-219, counter_filter_policy.h:106-136).  Inference mode
+    (train=False) never mutates: unknown ids read the no-permission default.
+    """
+
+    ids = ids.reshape(-1).astype(table.key_dtype)
+    emp = table.empty
+    uids, counts, inverse = unique_ids(ids, emp)
+    valid = uids != emp
+    opt = table.option
+    step = jnp.asarray(step, jnp.int32)
+
+    cbf = table.cbf
+    if train and opt.cbf_filter is not None:
+        k = _cbf_num_hashes(opt.cbf_filter)
+        est = _cbf_probe(cbf, uids, k) + counts
+        cbf = _cbf_add(cbf, uids, counts, valid, k)
+        may_insert = valid & (est >= opt.cbf_filter.filter_freq)
+    else:
+        may_insert = valid if train else jnp.zeros_like(valid)
+
+    keys, slot_ids, inserted, n_failed = _find_or_insert(table.keys, uids, may_insert, valid)
+    found = slot_ids < table.capacity
+    no_slot = jnp.int32(table.capacity)
+    safe_slot = jnp.where(found, slot_ids, no_slot)
+
+    values = table.values
+    freqs = table.freqs
+    versions = table.versions
+    touched = table.touched
+    size = table.size
+    growth_hint = table.growth_hint
+
+    if train:
+        # Initialize freshly inserted rows from the deterministic default pool:
+        # stable per-key init across restarts/shards (InitializerOption
+        # default_value_dim, variables.py:180).
+        dvd = table.default_rows.shape[0]
+        row_sel = hashing.bucket(uids, dvd, salt=7)
+        init_rows = table.default_rows[row_sel]
+        ins_slot = jnp.where(inserted, slot_ids, no_slot)
+        values = values.at[ins_slot].set(init_rows, mode="drop")
+        for sname in table.slots:
+            pass  # slot values start at their init (set in with_slot); new rows already zeroed
+        if versions is not None:
+            versions = versions.at[ins_slot].set(step, mode="drop")
+        size = size + jnp.sum(inserted).astype(jnp.int32)
+        growth_hint = growth_hint + n_failed
+
+        if freqs is not None:
+            upd_slot = jnp.where(found, slot_ids, no_slot)
+            freqs = freqs.at[upd_slot].add(jnp.where(found, counts, 0), mode="drop")
+
+    # Admission: counter filter gates trainability by accumulated frequency.
+    admitted = found
+    if opt.counter_filter is not None and opt.counter_filter.filter_freq > 0:
+        if freqs is None:
+            raise ValueError(f"table {table.name}: counter filter requires record_freq")
+        f = freqs.at[safe_slot].get(mode="fill", fill_value=0)
+        admitted = found & (f >= opt.counter_filter.filter_freq)
+
+    new_table = table.replace(
+        keys=keys, values=values, freqs=freqs, versions=versions,
+        touched=touched, cbf=cbf, size=size, growth_hint=growth_hint,
+    )
+    lk = Lookup(
+        uids=uids, counts=counts, inverse=inverse,
+        slot_ids=slot_ids, admitted=admitted, valid=valid,
+    )
+    return new_table, lk
+
+
+def _collect(table: EmbeddingTable, lk: Lookup) -> jnp.ndarray:
+    """Gather unique embedding rows [U, D].
+
+    Differentiation boundary: treat the result as an input to the loss; its
+    gradient is the sparse gradient handed to the sparse optimizers (the
+    _OPT_KvResourceCollectEmbedding role, kv_variable_ops.cc:404).
+    Un-admitted / missing ids read ``default_value_no_permission``
+    (counter_filter_policy.h:106).
+    """
+
+    vals = table.values.at[lk.slot_ids].get(mode="fill", fill_value=0)
+    dvnp = jnp.asarray(table.option.default_value_no_permission, table.value_dtype)
+    return jnp.where(lk.admitted[:, None], vals, dvnp)
+
+
+def _lookup(table: EmbeddingTable, ids: jnp.ndarray) -> jnp.ndarray:
+    """Inference-path lookup: [N, D] embeddings, no state mutation."""
+
+    _, lk = _lookup_phase(table, ids, train=False)
+    gathered = _collect(table, lk)
+    return gathered[lk.inverse]
+
+
+# Public, jitted entry points.  These compose into larger jitted programs too
+# (jit-of-jit is inlined by XLA); standalone eager use would otherwise pay
+# per-op dispatch for the probe loop.
+lookup_phase = jax.jit(_lookup_phase, static_argnames=("train",))
+collect = jax.jit(_collect)
+lookup = jax.jit(_lookup)
+
+
+# ---------------------------------------------------------------------------
+# Growth / rebuild / shrink
+
+
+def load_factor(table: EmbeddingTable) -> float:
+    return float(jax.device_get(table.size)) / table.capacity
+
+
+def needs_grow(table: EmbeddingTable) -> bool:
+    """Host-side check; call between steps (dynamic capacity, EV semantics)."""
+
+    return (
+        load_factor(table) > table.option.max_load_factor
+        or int(jax.device_get(table.growth_hint)) > 0
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+def _rebuild(table: EmbeddingTable, new_capacity: int) -> EmbeddingTable:
+    live = table.keys != table.empty
+    emp = empty_key(table.key_dtype)
+    new_keys = jnp.full((new_capacity,), emp, table.key_dtype)
+    # Re-insert every live key.  Unique by construction.
+    new_keys, new_slots, inserted, n_failed = _find_or_insert(
+        new_keys, table.keys, live, live
+    )
+    dst = jnp.where(live, new_slots, jnp.int32(new_capacity))
+
+    def move(arr, fill=0):
+        out = jnp.full((new_capacity,) + arr.shape[1:], fill, arr.dtype)
+        return out.at[dst].set(arr, mode="drop")
+
+    return table.replace(
+        keys=new_keys,
+        values=move(table.values),
+        slots={k: move(v) for k, v in table.slots.items()},
+        freqs=move(table.freqs) if table.freqs is not None else None,
+        versions=move(table.versions) if table.versions is not None else None,
+        touched=move(table.touched, False) if table.touched is not None else None,
+        size=jnp.sum(live).astype(jnp.int32),
+        growth_hint=jnp.zeros((), jnp.int32),
+    )
+
+
+def grow(table: EmbeddingTable, new_capacity: Optional[int] = None) -> EmbeddingTable:
+    new_capacity = int(new_capacity or table.capacity * 2)
+    if new_capacity & (new_capacity - 1):
+        raise ValueError("capacity must be a power of two")
+    return _rebuild(table, new_capacity)
+
+
+def maybe_grow(table: EmbeddingTable) -> EmbeddingTable:
+    while needs_grow(table):
+        table = grow(table)
+    return table
+
+
+@jax.jit
+def evict_mask(table: EmbeddingTable, step) -> jnp.ndarray:
+    """Which live slots the shrink policies would drop (shrink_policy.h).
+
+    GlobalStepShrinkPolicy: ``step - version > steps_to_live``;
+    L2WeightShrinkPolicy: ``||value||^2 < l2_weight_threshold``.
+    """
+
+    live = table.keys != table.empty
+    mask = jnp.zeros((table.capacity,), jnp.bool_)
+    opt = table.option
+    step = jnp.asarray(step, jnp.int32)
+    if opt.global_step_evict is not None and opt.global_step_evict.steps_to_live > 0:
+        if table.versions is None:
+            raise ValueError("global-step eviction requires record_version")
+        mask = mask | (step - table.versions > opt.global_step_evict.steps_to_live)
+    if opt.l2_weight_evict is not None and opt.l2_weight_evict.l2_weight_threshold > 0:
+        l2 = jnp.sum(jnp.square(table.values.astype(jnp.float32)), axis=-1)
+        mask = mask | (l2 < opt.l2_weight_evict.l2_weight_threshold)
+    return mask & live
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _apply_evict(table: EmbeddingTable, mask: jnp.ndarray) -> EmbeddingTable:
+    emp = jnp.asarray(table.empty, table.key_dtype)
+    keys = jnp.where(mask, emp, table.keys)
+    live = keys != table.empty
+    # Rebuild at same capacity to heal probe chains (no tombstones).
+    tmp = table.replace(keys=keys, size=jnp.sum(live).astype(jnp.int32))
+    return tmp
+
+
+def shrink(table: EmbeddingTable, step) -> EmbeddingTable:
+    """Apply eviction policies (delete-on-checkpoint in the reference —
+    save_restore_v2_ops.cc:296-310 DumpEv applies shrink at save time)."""
+
+    mask = evict_mask(table, step)
+    n = int(jax.device_get(jnp.sum(mask)))
+    if n == 0:
+        return table
+    table = _apply_evict(table, mask)
+    return _rebuild(table, table.capacity)
+
+
+@jax.jit
+def _remove_mask(table: EmbeddingTable, ids: jnp.ndarray) -> jnp.ndarray:
+    ids = ids.reshape(-1).astype(table.key_dtype)
+    uids, _, _ = unique_ids(ids, table.empty)
+    valid = uids != table.empty
+    slots = _find(table.keys, uids, valid)
+    mask = jnp.zeros((table.capacity,), jnp.bool_)
+    return mask.at[jnp.where(slots < table.capacity, slots, table.capacity)].set(
+        True, mode="drop"
+    )
+
+
+def remove(table: EmbeddingTable, ids: jnp.ndarray) -> EmbeddingTable:
+    """Explicit key removal (KVInterface::Remove)."""
+
+    mask = _remove_mask(table, ids)
+    table = _apply_evict(table, mask)
+    return _rebuild(table, table.capacity)
+
+
+# ---------------------------------------------------------------------------
+# Introspection (EVGetFrequency / EVGetVersion, core/ops/kv_variable_ops.cc)
+
+
+@jax.jit
+def get_frequency(table: EmbeddingTable, ids: jnp.ndarray) -> jnp.ndarray:
+    ids = ids.reshape(-1).astype(table.key_dtype)
+    uids, _, inverse = unique_ids(ids, table.empty)
+    slots = _find(table.keys, uids, uids != table.empty)
+    f = table.freqs.at[slots].get(mode="fill", fill_value=0)
+    return f[inverse]
+
+
+@jax.jit
+def get_version(table: EmbeddingTable, ids: jnp.ndarray) -> jnp.ndarray:
+    ids = ids.reshape(-1).astype(table.key_dtype)
+    uids, _, inverse = unique_ids(ids, table.empty)
+    slots = _find(table.keys, uids, uids != table.empty)
+    v = table.versions.at[slots].get(mode="fill", fill_value=-1)
+    return v[inverse]
+
+
+@jax.jit
+def contains(table: EmbeddingTable, ids: jnp.ndarray) -> jnp.ndarray:
+    ids = ids.reshape(-1).astype(table.key_dtype)
+    uids, _, inverse = unique_ids(ids, table.empty)
+    slots = _find(table.keys, uids, uids != table.empty)
+    return (slots < table.capacity)[inverse]
+
+
+def export_live(table: EmbeddingTable):
+    """(keys, values, freqs, versions, live_mask) for checkpointing/export
+    (KvResourceExport, core/ops/kv_variable_ops.cc:74-885)."""
+
+    live = table.keys != table.empty
+    return table.keys, table.values, table.freqs, table.versions, live

@@ -1,0 +1,318 @@
+"""Sparse optimizers applying directly on embedding-table slots.
+
+TPU-native re-design of the reference's KvResourceSparseApply* kernel family
+(core/kernels/training_ali_ops.cc:73-3457, core/ops/training_ali_ops.cc:110-764).
+The reference shards a scalar loop over ids, doing per-id LookupOrCreateKey +
+Eigen row math; here the ids are already resolved to slots by the lookup phase
+(the _OPT_ pre-resolved-pointer pattern), gradients arrive deduplicated as
+[U, D] rows, and the update is one batched scatter per state array — the whole
+thing fuses into a handful of XLA ops on the VPU.
+
+Semantics matrix reproduced from the reference:
+  * every optimizer × ``WithCounts`` variant (feature-frequency-aware scaling,
+    the *_with_counts ops) via ``use_counts``;
+  * filter gating: un-admitted ids receive no update but still count
+    frequency (counter_filter_policy.h:106-136);
+  * version bump to the current global step on update (UpdateVersion,
+    training_ali_ops.cc:143-160);
+  * AdamAsync's per-row beta-power bookkeeping (apply_adam_async semantics,
+    training_ali_ops.cc ApplyAdamAsync: beta1_power/beta2_power live per row
+    and advance only when the row is touched);
+  * AdagradDecay's global accumulator decay schedule
+    (docs: accumulator *= decay_rate every decay_step steps).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deeprec_tpu.embedding import table as ev
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseOptimizer:
+    """A sparse optimizer = slot schema + batched row-update rule."""
+
+    name: str
+    slot_names: Tuple[str, ...]
+    slot_widths: Tuple[Optional[int], ...]   # None = table dim, 1 = scalar/row
+    slot_inits: Tuple[float, ...]
+    # update(params, slot_values, grad, ctx) -> (new_params, new_slot_values)
+    # operating on [U, D] rows.
+    update: Callable
+    hyper: dict = dataclasses.field(default_factory=dict)
+
+    def init(self, table: ev.EmbeddingTable) -> ev.EmbeddingTable:
+        """Attach this optimizer's slot variables to the table (slot EVs)."""
+
+        for n, w, i in zip(self.slot_names, self.slot_widths, self.slot_inits):
+            table = ev.with_slot(table, n, width=w, init=i)
+        return table
+
+    def apply(
+        self,
+        table: ev.EmbeddingTable,
+        lk: ev.Lookup,
+        grad: jnp.ndarray,
+        *,
+        step: jnp.ndarray | int = 0,
+        use_counts: bool = False,
+    ) -> ev.EmbeddingTable:
+        """Apply deduplicated sparse gradients [U, D] to the table.
+
+        ``lk`` is the Lookup from the forward pass; rows where
+        ``lk.admitted`` is False are skipped entirely (no slot update, no
+        version bump) — matching the filter-gated sparse-apply
+        (training_ali_ops.cc:143-160).
+        """
+
+        return _apply_jit(
+            table, lk, grad, jnp.asarray(step, jnp.int32), dict(self.hyper),
+            update=self.update, slot_names=self.slot_names,
+            use_counts=use_counts,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("update", "slot_names", "use_counts")
+)
+def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names, use_counts):
+    ok = lk.valid & lk.admitted & (lk.slot_ids < table.capacity)
+    no_slot = jnp.int32(table.capacity)
+    dst = jnp.where(ok, lk.slot_ids, no_slot)
+    grad = grad.astype(table.value_dtype)
+
+    params = table.values.at[dst].get(mode="fill", fill_value=0)
+    slot_vals = {
+        n: table.slots[n].at[dst].get(mode="fill", fill_value=0)
+        for n in slot_names
+    }
+    ctx = dict(hyper)
+    ctx["step"] = step
+    ctx["counts"] = (
+        lk.counts.astype(table.value_dtype)
+        if use_counts
+        else jnp.ones_like(lk.counts, table.value_dtype)
+    )
+    new_params, new_slots = update(params, slot_vals, grad, ctx)
+
+    values = table.values.at[dst].set(
+        jnp.where(ok[:, None], new_params, params), mode="drop"
+    )
+    slots = dict(table.slots)
+    for n in slot_names:
+        slots[n] = table.slots[n].at[dst].set(
+            jnp.where(ok[:, None], new_slots[n], slot_vals[n]), mode="drop"
+        )
+    versions = table.versions
+    if versions is not None:
+        versions = versions.at[dst].set(step, mode="drop")
+    touched = table.touched
+    if touched is not None:
+        touched = touched.at[dst].set(True, mode="drop")
+    return table.replace(values=values, slots=slots, versions=versions,
+                         touched=touched)
+
+
+# ---------------------------------------------------------------------------
+# Update rules.  All operate on [U, D] f32 rows; ctx carries hyperparams.
+
+
+def _adagrad_update(p, s, g, ctx):
+    # KvSparseApplyAdagrad: a += g^2; v -= lr * g * rsqrt(a)
+    # (training_ali_ops.cc:143-160)
+    a = s["accumulator"] + jnp.square(g)
+    p = p - ctx["lr"] * g * jax.lax.rsqrt(a + ctx["epsilon"])
+    return p, {"accumulator": a}
+
+
+def adagrad(lr: float = 0.01, initial_accumulator_value: float = 0.1,
+            epsilon: float = 0.0) -> SparseOptimizer:
+    return SparseOptimizer(
+        name="Adagrad",
+        slot_names=("accumulator",),
+        slot_widths=(None,),
+        slot_inits=(initial_accumulator_value,),
+        update=_adagrad_update,
+        hyper={"lr": lr, "epsilon": epsilon},
+    )
+
+
+def _adagrad_decay_update(p, s, g, ctx):
+    # AdagradDecay (adagrad_decay.py / ApplyAdagradDecay): every
+    # ``decay_step`` global steps the accumulator is scaled by decay_rate,
+    # with a floor at ``decay_baseline``.  Per-row application: decay is
+    # applied when the row's recorded decay period lags the global one.
+    period = (ctx["step"] // ctx["decay_step"]).astype(jnp.float32)
+    row_period = s["decay_counter"]  # [U, 1] — last decay period applied to row
+    lag = jnp.maximum(period - row_period[:, 0], 0.0)
+    decay = jnp.power(ctx["decay_rate"], lag)[:, None]
+    a = jnp.maximum(s["accumulator"] * decay, ctx["decay_baseline"])
+    a = a + jnp.square(g)
+    p = p - ctx["lr"] * g * jax.lax.rsqrt(a + 1e-10)
+    return p, {"accumulator": a, "decay_counter": jnp.full_like(row_period, period)}
+
+
+def adagrad_decay(lr: float = 0.01, initial_accumulator_value: float = 0.1,
+                  decay_step: int = 100000, decay_rate: float = 0.9,
+                  decay_baseline: float = 1e-7) -> SparseOptimizer:
+    return SparseOptimizer(
+        name="AdagradDecay",
+        slot_names=("accumulator", "decay_counter"),
+        slot_widths=(None, 1),
+        slot_inits=(initial_accumulator_value, 0.0),
+        update=_adagrad_decay_update,
+        hyper={"lr": lr, "decay_step": decay_step, "decay_rate": decay_rate,
+               "decay_baseline": decay_baseline},
+    )
+
+
+def _adam_update(p, s, g, ctx):
+    # Standard Adam with global-step bias correction (KvSparseApplyAdam).
+    t = ctx["step"].astype(jnp.float32) + 1.0
+    b1, b2 = ctx["beta1"], ctx["beta2"]
+    m = b1 * s["m"] + (1.0 - b1) * g
+    v = b2 * s["v"] + (1.0 - b2) * jnp.square(g)
+    lr_t = ctx["lr"] * jnp.sqrt(1.0 - jnp.power(b2, t)) / (1.0 - jnp.power(b1, t))
+    p = p - lr_t * m / (jnp.sqrt(v) + ctx["epsilon"])
+    return p, {"m": m, "v": v}
+
+
+def adam(lr: float = 0.001, beta1: float = 0.9, beta2: float = 0.999,
+         epsilon: float = 1e-8) -> SparseOptimizer:
+    return SparseOptimizer(
+        name="Adam",
+        slot_names=("m", "v"),
+        slot_widths=(None, None),
+        slot_inits=(0.0, 0.0),
+        update=_adam_update,
+        hyper={"lr": lr, "beta1": beta1, "beta2": beta2, "epsilon": epsilon},
+    )
+
+
+def _adam_async_update(p, s, g, ctx):
+    # AdamAsync (training_ali_ops.cc ApplyAdamAsync, adam_async.py): each row
+    # carries its own beta1_power/beta2_power, advanced only when the row is
+    # updated — correct bias correction under async/sparse touching without a
+    # global dense counter.
+    b1, b2 = ctx["beta1"], ctx["beta2"]
+    b1p = s["beta1_power"][:, 0] * b1
+    b2p = s["beta2_power"][:, 0] * b2
+    m = b1 * s["m"] + (1.0 - b1) * g
+    v = b2 * s["v"] + (1.0 - b2) * jnp.square(g)
+    lr_t = ctx["lr"] * jnp.sqrt(1.0 - b2p) / (1.0 - b1p)
+    p = p - lr_t[:, None] * m / (jnp.sqrt(v) + ctx["epsilon"])
+    return p, {"m": m, "v": v, "beta1_power": b1p[:, None], "beta2_power": b2p[:, None]}
+
+
+def adam_async(lr: float = 0.001, beta1: float = 0.9, beta2: float = 0.999,
+               epsilon: float = 1e-8) -> SparseOptimizer:
+    return SparseOptimizer(
+        name="AdamAsync",
+        slot_names=("m", "v", "beta1_power", "beta2_power"),
+        slot_widths=(None, None, 1, 1),
+        slot_inits=(0.0, 0.0, 1.0, 1.0),
+        update=_adam_async_update,
+        hyper={"lr": lr, "beta1": beta1, "beta2": beta2, "epsilon": epsilon},
+    )
+
+
+def _adamw_update(p, s, g, ctx):
+    t = ctx["step"].astype(jnp.float32) + 1.0
+    b1, b2 = ctx["beta1"], ctx["beta2"]
+    m = b1 * s["m"] + (1.0 - b1) * g
+    v = b2 * s["v"] + (1.0 - b2) * jnp.square(g)
+    lr_t = ctx["lr"] * jnp.sqrt(1.0 - jnp.power(b2, t)) / (1.0 - jnp.power(b1, t))
+    p = p - lr_t * m / (jnp.sqrt(v) + ctx["epsilon"]) - ctx["lr"] * ctx["weight_decay"] * p
+    return p, {"m": m, "v": v}
+
+
+def adamw(lr: float = 0.001, beta1: float = 0.9, beta2: float = 0.999,
+          epsilon: float = 1e-8, weight_decay: float = 0.01) -> SparseOptimizer:
+    return SparseOptimizer(
+        name="AdamW",
+        slot_names=("m", "v"),
+        slot_widths=(None, None),
+        slot_inits=(0.0, 0.0),
+        update=_adamw_update,
+        hyper={"lr": lr, "beta1": beta1, "beta2": beta2, "epsilon": epsilon,
+               "weight_decay": weight_decay},
+    )
+
+
+def _ftrl_update(p, s, g, ctx):
+    # KvSparseApplyFtrl (training_ali_ops.cc): accum/linear formulation.
+    lr, l1, l2, power = ctx["lr"], ctx["l1"], ctx["l2"], ctx["lr_power"]
+    a = s["accumulator"]
+    a_new = a + jnp.square(g)
+    sigma = (jnp.power(a_new, -power) - jnp.power(a, -power)) / lr
+    lin = s["linear"] + g - sigma * p
+    quad = jnp.power(a_new, -power) / lr + 2.0 * l2
+    l1_reg = jnp.clip(lin, -l1, l1)
+    p = jnp.where(jnp.abs(lin) > l1, (l1_reg - lin) / quad, 0.0)
+    return p, {"accumulator": a_new, "linear": lin}
+
+
+def ftrl(lr: float = 0.01, initial_accumulator_value: float = 0.1,
+         l1: float = 0.0, l2: float = 0.0, lr_power: float = 0.5) -> SparseOptimizer:
+    return SparseOptimizer(
+        name="Ftrl",
+        slot_names=("accumulator", "linear"),
+        slot_widths=(None, None),
+        slot_inits=(initial_accumulator_value, 0.0),
+        update=_ftrl_update,
+        hyper={"lr": lr, "l1": l1, "l2": l2, "lr_power": lr_power},
+    )
+
+
+def _sgd_update(p, s, g, ctx):
+    return p - ctx["lr"] * g, {}
+
+
+def sgd(lr: float = 0.01) -> SparseOptimizer:
+    # KvResourceSparseApplyGradientDescent
+    return SparseOptimizer(
+        name="GradientDescent",
+        slot_names=(),
+        slot_widths=(),
+        slot_inits=(),
+        update=_sgd_update,
+        hyper={"lr": lr},
+    )
+
+
+def _momentum_update(p, s, g, ctx):
+    m = ctx["momentum"] * s["momentum"] + g
+    return p - ctx["lr"] * m, {"momentum": m}
+
+
+def momentum(lr: float = 0.01, momentum_val: float = 0.9) -> SparseOptimizer:
+    return SparseOptimizer(
+        name="Momentum",
+        slot_names=("momentum",),
+        slot_widths=(None,),
+        slot_inits=(0.0,),
+        update=_momentum_update,
+        hyper={"lr": lr, "momentum": momentum_val},
+    )
+
+
+ALL = {
+    "adagrad": adagrad,
+    "adagrad_decay": adagrad_decay,
+    "adam": adam,
+    "adam_async": adam_async,
+    "adamw": adamw,
+    "ftrl": ftrl,
+    "sgd": sgd,
+    "momentum": momentum,
+}
+
+
+def get(name: str, **kwargs) -> SparseOptimizer:
+    return ALL[name](**kwargs)

@@ -1,0 +1,23 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+Mirrors the reference's in-process multi-task test style (SURVEY.md §4) — all
+sharding/collective tests run on a simulated mesh, no real TPU pod needed.
+
+Note: this machine's sitecustomize registers the axon TPU backend and
+overrides ``jax_platforms`` at interpreter start, so an env var alone is not
+enough — we must override the jax config again after importing jax.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeat test runs skip XLA re-compiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/deeprec_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
