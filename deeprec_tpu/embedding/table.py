@@ -446,7 +446,7 @@ def needs_grow(table: EmbeddingTable) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(1,))
 def _rebuild(table: EmbeddingTable, new_capacity: int) -> EmbeddingTable:
     live = table.keys != table.empty
     emp = empty_key(table.key_dtype)
@@ -508,7 +508,7 @@ def evict_mask(table: EmbeddingTable, step) -> jnp.ndarray:
     return mask & live
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _apply_evict(table: EmbeddingTable, mask: jnp.ndarray) -> EmbeddingTable:
     emp = jnp.asarray(table.empty, table.key_dtype)
     keys = jnp.where(mask, emp, table.keys)

@@ -1,0 +1,67 @@
+"""Model-zoo base: feature specs and the model interface.
+
+Mirrors the reference modelzoo skeleton (modelzoo/<model>/train.py — argparse
+flags → feature columns → model class → training loop) as a functional
+interface:
+
+  * ``TableSpec``     — one embedding table's config (a feature column).
+  * ``RecModel``      — table specs + param init + pure forward.
+
+Every model's ``forward(params, batch, acts, train)`` consumes the combined
+embedding activations produced by ``deeprec_tpu.embedding.lookup`` and returns
+logits [B] (multi-task models return dict of logits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+
+from deeprec_tpu import config as cfg
+from deeprec_tpu.embedding import table as ev
+
+
+@dataclasses.dataclass(frozen=True)
+class TableSpec:
+    """Embedding-table declaration (categorical_column_with_embedding)."""
+
+    name: str
+    dim: int
+    combiner: cfg.Combiner = cfg.Combiner.MEAN
+    sequence: bool = False          # sequence_categorical_column: no combine
+    seq_len: int = 1
+    initial_capacity: int = 2 ** 14
+    shared_features: Sequence[str] = ()   # extra feature names using this table
+    feature: Optional[str] = None   # batch column to read (defaults to name)
+
+
+@dataclasses.dataclass(frozen=True)
+class RecModel:
+    name: str
+    table_specs: Dict[str, TableSpec]
+    init_params: Callable           # (prng_key) -> params pytree
+    forward: Callable               # (params, batch, acts, train) -> logits [B]
+    dense_dim: int = 13
+
+
+def make_tables(
+    model: RecModel,
+    option: Optional[cfg.EmbeddingVariableOption] = None,
+    key_dtype=jnp.int32,
+    value_dtype=jnp.float32,
+) -> Dict[str, ev.EmbeddingTable]:
+    tables = {}
+    for name, spec in model.table_specs.items():
+        opt = option or cfg.EmbeddingVariableOption()
+        opt = dataclasses.replace(opt, initial_capacity=spec.initial_capacity)
+        tables[name] = ev.create(name, spec.dim, key_dtype=key_dtype,
+                                 value_dtype=value_dtype, option=opt)
+    return tables
+
+
+# Criteo column layout (modelzoo/dlrm/train.py:33-37)
+CONTINUOUS_COLUMNS = [f"I{i}" for i in range(1, 14)]
+CATEGORICAL_COLUMNS = [f"C{i}" for i in range(1, 27)]
+LABEL_COLUMN = "clicked"

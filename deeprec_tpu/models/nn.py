@@ -1,0 +1,210 @@
+"""Minimal dense-layer library: plain-pytree params, explicit apply functions.
+
+Replaces the reference's tf.layers/tf.feature_column dense stack with
+transparent functional modules that compose with jit/shard_map without any
+framework state.  bf16 policy mirrors the reference's BF16 feature
+(docs_en/BFloat16.md ``keep_weights``): parameters are kept in f32, compute
+optionally casts activations to bf16 (TPU MXU native) with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+Params = Dict[str, jnp.ndarray]
+
+
+def glorot(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[-1]
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def dense_init(key, in_dim: int, out_dim: int) -> Params:
+    kw, _ = jax.random.split(key)
+    return {"w": glorot(kw, (in_dim, out_dim)), "b": jnp.zeros((out_dim,), jnp.float32)}
+
+
+def dense_apply(p: Params, x: jnp.ndarray, activation=None) -> jnp.ndarray:
+    # MXU path: compute dtype follows x; params cast on the fly (keep_weights
+    # semantics — master weights stay f32), accumulation forced to f32.
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    y = (y + p["b"]).astype(x.dtype)
+    return activation(y) if activation is not None else y
+
+
+def mlp_init(key, in_dim: int, hidden: Sequence[int]) -> List[Params]:
+    layers = []
+    dims = [in_dim] + list(hidden)
+    keys = jax.random.split(key, len(hidden))
+    for k, a, b in zip(keys, dims[:-1], dims[1:]):
+        layers.append(dense_init(k, a, b))
+    return layers
+
+
+def mlp_apply(layers: List[Params], x: jnp.ndarray,
+              activation=jax.nn.relu, final_activation=None) -> jnp.ndarray:
+    for i, p in enumerate(layers):
+        act = activation if i + 1 < len(layers) else final_activation
+        x = dense_apply(p, x, act)
+    return x
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm_apply(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(dt)
+
+
+def batch_norm_init(dim: int) -> Params:
+    return {
+        "scale": jnp.ones((dim,), jnp.float32),
+        "bias": jnp.zeros((dim,), jnp.float32),
+        "mean": jnp.zeros((dim,), jnp.float32),
+        "var": jnp.ones((dim,), jnp.float32),
+    }
+
+
+def batch_norm_apply(p: Params, x: jnp.ndarray, train: bool, momentum: float = 0.99):
+    """Returns (y, new_params).  In eval mode new_params is p unchanged."""
+
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    if train:
+        mu = jnp.mean(xf, axis=0)
+        var = jnp.var(xf, axis=0)
+        new_p = {**p,
+                 "mean": momentum * p["mean"] + (1 - momentum) * mu,
+                 "var": momentum * p["var"] + (1 - momentum) * var}
+    else:
+        mu, var, new_p = p["mean"], p["var"], p
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+    return y.astype(dt), new_p
+
+
+def prelu_init(dim: int) -> Params:
+    return {"alpha": jnp.full((dim,), 0.25, jnp.float32)}
+
+
+def prelu_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    a = p["alpha"].astype(x.dtype)
+    return jnp.where(x > 0, x, a * x)
+
+
+def dice_init(dim: int) -> Params:
+    """DIN's Dice activation (data-adaptive PReLU with batch statistics)."""
+
+    return {"alpha": jnp.zeros((dim,), jnp.float32), **batch_norm_init(dim)}
+
+
+def dice_apply(p: Params, x: jnp.ndarray, train: bool):
+    xf = x.astype(jnp.float32)
+    if train:
+        mu, var = jnp.mean(xf, axis=0), jnp.var(xf, axis=0)
+        new_p = {**p, "mean": 0.99 * p["mean"] + 0.01 * mu,
+                 "var": 0.99 * p["var"] + 0.01 * var}
+    else:
+        mu, var, new_p = p["mean"], p["var"], p
+    norm = (xf - mu) * jax.lax.rsqrt(var + 1e-8)
+    ps = jax.nn.sigmoid(norm)
+    y = ps * xf + (1.0 - ps) * p["alpha"] * xf
+    return y.astype(x.dtype), new_p
+
+
+def gru_init(key, in_dim: int, hidden: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "wz": glorot(k1, (in_dim + hidden, hidden)), "bz": jnp.zeros((hidden,)),
+        "wr": glorot(k2, (in_dim + hidden, hidden)), "br": jnp.zeros((hidden,)),
+        "wh": glorot(k3, (in_dim + hidden, hidden)), "bh": jnp.zeros((hidden,)),
+    }
+
+
+def gru_cell(p: Params, h, x):
+    xi = jnp.concatenate([x, h], axis=-1)
+    z = jax.nn.sigmoid(jnp.dot(xi, p["wz"].astype(xi.dtype),
+                               preferred_element_type=jnp.float32) + p["bz"])
+    r = jax.nn.sigmoid(jnp.dot(xi, p["wr"].astype(xi.dtype),
+                               preferred_element_type=jnp.float32) + p["br"])
+    xh = jnp.concatenate([x, r.astype(x.dtype) * h], axis=-1)
+    hh = jnp.tanh(jnp.dot(xh, p["wh"].astype(xh.dtype),
+                          preferred_element_type=jnp.float32) + p["bh"])
+    return ((1 - z) * h + z * hh).astype(h.dtype)
+
+
+def gru_apply(p: Params, xs: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+    """Run a GRU over [B, L, D] (DIEN interest extractor).  Returns
+    (outputs [B, L, H], final_state [B, H]); masked steps carry state."""
+
+    b, l, d = xs.shape
+    h0 = jnp.zeros((b, p["bz"].shape[0]), xs.dtype)
+
+    def step(h, inp):
+        x, m = inp
+        h_new = gru_cell(p, h, x)
+        if m is not None:
+            h_new = jnp.where(m[:, None], h_new, h)
+        return h_new, h_new
+
+    ms = None if mask is None else jnp.moveaxis(mask, 1, 0)
+    xs_t = jnp.moveaxis(xs, 1, 0)
+    inputs = (xs_t, ms) if ms is not None else (xs_t, [None] * l)
+    if ms is None:
+        final, outs = jax.lax.scan(lambda h, x: step(h, (x, None)), h0, xs_t)
+    else:
+        final, outs = jax.lax.scan(step, h0, (xs_t, ms))
+    return jnp.moveaxis(outs, 0, 1), final
+
+
+def augru_init(key, in_dim: int, hidden: int) -> Params:
+    return gru_init(key, in_dim, hidden)
+
+
+def augru_apply(p: Params, xs: jnp.ndarray, att: jnp.ndarray,
+                mask: Optional[jnp.ndarray] = None):
+    """Attention-update GRU (DIEN's AUGRU): update gate scaled by attention
+    score per step."""
+
+    b, l, d = xs.shape
+    h0 = jnp.zeros((b, p["bz"].shape[0]), xs.dtype)
+
+    def step(h, inp):
+        x, a, m = inp
+        xi = jnp.concatenate([x, h], axis=-1)
+        z = jax.nn.sigmoid(jnp.dot(xi, p["wz"].astype(xi.dtype),
+                                   preferred_element_type=jnp.float32) + p["bz"])
+        r = jax.nn.sigmoid(jnp.dot(xi, p["wr"].astype(xi.dtype),
+                                   preferred_element_type=jnp.float32) + p["br"])
+        xh = jnp.concatenate([x, r.astype(x.dtype) * h], axis=-1)
+        hh = jnp.tanh(jnp.dot(xh, p["wh"].astype(xh.dtype),
+                              preferred_element_type=jnp.float32) + p["bh"])
+        zu = (a[:, None] * z).astype(h.dtype)
+        h_new = (1 - zu) * h + zu * hh.astype(h.dtype)
+        if m is not None:
+            h_new = jnp.where(m[:, None], h_new, h)
+        return h_new, h_new
+
+    xs_t = jnp.moveaxis(xs, 1, 0)
+    at_t = jnp.moveaxis(att, 1, 0)
+    ms = None if mask is None else jnp.moveaxis(mask, 1, 0)
+    if ms is None:
+        final, outs = jax.lax.scan(lambda h, xa: step(h, (xa[0], xa[1], None)),
+                                   h0, (xs_t, at_t))
+    else:
+        final, outs = jax.lax.scan(step, h0, (xs_t, at_t, ms))
+    return jnp.moveaxis(outs, 0, 1), final
+
+
+def count_params(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))

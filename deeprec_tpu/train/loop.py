@@ -1,0 +1,207 @@
+"""Training loop: jitted step orchestration over tables + dense params.
+
+The functional replacement for the reference's MonitoredTrainingSession loop
+(modelzoo/wide_and_deep/train.py:534-588): one jitted ``train_step`` performs
+  lookup-phase → value-and-grad over (dense params, gathered rows)
+  → dense optax update + sparse table update,
+and the host loop handles the things XLA can't: dynamic table growth
+(capacity doubling, EV dynamic-shape semantics), checkpoint cadence, logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from deeprec_tpu import config as cfg
+from deeprec_tpu.embedding import lookup as lkp
+from deeprec_tpu.embedding import table as ev
+from deeprec_tpu.models import base
+from deeprec_tpu.optimizers import sparse as sparse_opt
+from deeprec_tpu.train import metrics as M
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    tables: Dict[str, ev.EmbeddingTable]
+    step: jnp.ndarray
+    auc: M.AucState
+
+
+def _bce(logits, labels):
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(
+        logits.astype(jnp.float32), labels))
+
+
+def make_features(model: base.RecModel, batch: Dict) -> Dict[str, lkp.SparseFeature]:
+    feats = {}
+    for name, spec in model.table_specs.items():
+        feats[name] = lkp.SparseFeature(ids=batch["cat"][spec.feature or name])
+        for extra in spec.shared_features:
+            feats[f"{name}:{extra}"] = lkp.SparseFeature(ids=batch["cat"][extra])
+    return feats
+
+
+def make_acts(model, gathered, lks, features, tables, compute_dtype):
+    """Per-feature activations: combined [B,D] or (seq [B,L,D], mask)."""
+
+    acts = {}
+    for fname, feat in features.items():
+        tname = fname.split(":")[0]
+        spec = model.table_specs[tname]
+        g = gathered[fname].astype(compute_dtype)
+        if spec.sequence:
+            acts[fname] = lkp.sequence_embedding(g, lks[fname], feat,
+                                                 tables[tname].empty)
+        else:
+            acts[fname] = lkp.combine(g, lks[fname], feat,
+                                      tables[tname].empty, spec.combiner)
+    return acts
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Builds and runs jitted train/eval steps for one RecModel."""
+
+    model: base.RecModel
+    tables: Dict[str, ev.EmbeddingTable]
+    sparse_optimizer: sparse_opt.SparseOptimizer
+    dense_tx: optax.GradientTransformation
+    bf16: bool = False
+    use_counts: bool = False
+
+    def __post_init__(self):
+        self.compute_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    def init_state(self, key) -> TrainState:
+        params = self.model.init_params(key)
+        tables = {n: self.sparse_optimizer.init(t) for n, t in self.tables.items()}
+        return TrainState(
+            params=params,
+            opt_state=self.dense_tx.init(params),
+            tables=tables,
+            step=jnp.zeros((), jnp.int32),
+            auc=M.AucState.create(),
+        )
+
+    # -- jitted bodies ------------------------------------------------------
+
+    def _train_step_impl(self, state: TrainState, batch: Dict):
+        model = self.model
+        features = make_features(model, batch)
+        tables, lks, gathered = lkp.lookup_all(
+            state.tables, features, step=state.step, train=True
+        )
+
+        def loss_fn(params, gathered):
+            acts = make_acts(model, gathered, lks, features, tables,
+                             self.compute_dtype)
+            dense_in = dict(batch)
+            dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
+            logits = model.forward(params, dense_in, acts, True)
+            return _bce(logits, batch["label"]), logits
+
+        (loss, logits), (gp, gg) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, gathered)
+
+        updates, opt_state = self.dense_tx.update(gp, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        tables = lkp.apply_gradients(
+            tables, lks, gg, self.sparse_optimizer,
+            step=state.step, use_counts=self.use_counts,
+        )
+        auc = M.auc_update(state.auc, logits, batch["label"])
+        new_state = state.replace(
+            params=params, opt_state=opt_state, tables=tables,
+            step=state.step + 1, auc=auc,
+        )
+        return new_state, {"loss": loss}
+
+    def _eval_step_impl(self, state: TrainState, batch: Dict):
+        model = self.model
+        features = make_features(model, batch)
+        _, lks, gathered = lkp.lookup_all(
+            state.tables, features, step=state.step, train=False
+        )
+        acts = make_acts(model, gathered, lks, features, state.tables,
+                         self.compute_dtype)
+        dense_in = dict(batch)
+        dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
+        logits = model.forward(state.params, dense_in, acts, False)
+        return logits, _bce(logits, batch["label"])
+
+    # -- host API -----------------------------------------------------------
+
+    def train_step(self, state: TrainState, batch: Dict):
+        return self._train_step(state, batch)
+
+    def eval_step(self, state: TrainState, batch: Dict):
+        return self._eval_step(state, batch)
+
+    def maybe_grow(self, state: TrainState) -> TrainState:
+        """Host-side dynamic growth check (between steps; triggers recompile
+        only when a capacity actually doubles)."""
+
+        tables = dict(state.tables)
+        changed = False
+        for n, t in tables.items():
+            if ev.needs_grow(t):
+                tables[n] = ev.maybe_grow(t)
+                changed = True
+        return state.replace(tables=tables) if changed else state
+
+    def fit(
+        self,
+        state: TrainState,
+        data_iter,
+        steps: int,
+        *,
+        grow_every: int = 50,
+        log_every: int = 100,
+        log_fn: Callable = print,
+    ) -> TrainState:
+        t0 = time.time()
+        seen = 0
+        for i, batch in enumerate(data_iter):
+            if i >= steps:
+                break
+            state, m = self.train_step(state, batch)
+            seen += len(batch["label"])
+            if grow_every and (i + 1) % grow_every == 0:
+                state = self.maybe_grow(state)
+            if log_every and (i + 1) % log_every == 0:
+                dt = time.time() - t0
+                log_fn(
+                    f"step {i+1}: loss={float(m['loss']):.4f} "
+                    f"auc={M.auc_value(state.auc):.4f} "
+                    f"ex/s={seen/dt:,.0f}"
+                )
+        return state
+
+    def evaluate(self, state: TrainState, data_iter, steps: int) -> Dict[str, float]:
+        import numpy as np
+
+        all_logits, all_labels, losses = [], [], []
+        for i, batch in enumerate(data_iter):
+            if i >= steps:
+                break
+            logits, loss = self.eval_step(state, batch)
+            all_logits.append(np.asarray(logits))
+            all_labels.append(np.asarray(batch["label"]))
+            losses.append(float(loss))
+        from deeprec_tpu.data.synthetic import auc_numpy
+
+        logits = np.concatenate(all_logits)
+        labels = np.concatenate(all_labels)
+        return {"auc": auc_numpy(logits, labels), "loss": float(np.mean(losses))}

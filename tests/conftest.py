@@ -18,6 +18,3 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: repeat test runs skip XLA re-compiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/deeprec_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

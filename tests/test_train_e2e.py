@@ -1,0 +1,130 @@
+"""End-to-end training tests: the full lookup→grad→update loop learns.
+
+Equivalent of the reference's model-level integration tests
+(cibuild/model-test.sh + modelzoo/benchmark): train on synthetic data with
+planted signal and assert AUC lifts well above chance.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from deeprec_tpu import config as cfg
+from deeprec_tpu.data.synthetic import SyntheticCriteo, auc_numpy
+from deeprec_tpu.embedding import table as ev
+from deeprec_tpu.models import base, nn
+from deeprec_tpu.optimizers import sparse
+from deeprec_tpu.train.loop import Trainer
+
+
+def tiny_model(n_cols=4, emb_dim=8):
+    cols = base.CATEGORICAL_COLUMNS[:n_cols]
+
+    specs = {c: base.TableSpec(name=c, dim=emb_dim, initial_capacity=2 ** 12)
+             for c in cols}
+
+    def init_params(key):
+        return {"mlp": nn.mlp_init(key, 13 + emb_dim * n_cols, [64, 1])}
+
+    def forward(params, batch, acts, train=True):
+        x = jnp.concatenate([batch["dense"]] + [acts[c] for c in cols], axis=1)
+        return nn.mlp_apply(params["mlp"], x)[:, 0]
+
+    return base.RecModel(name="tiny", table_specs=specs,
+                         init_params=init_params, forward=forward)
+
+
+class TinyData(SyntheticCriteo):
+    pass
+
+
+def test_training_learns_synthetic_signal():
+    model = tiny_model()
+    tables = base.make_tables(model)
+    trainer = Trainer(
+        model=model,
+        tables=tables,
+        sparse_optimizer=sparse.adagrad(lr=0.05),
+        dense_tx=optax.adagrad(0.05),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=512, num_ids_per_col=2000, seed=1)
+    state = trainer.fit(state, iter(gen), steps=150, log_every=0)
+    # eval on fresh data from the same distribution
+    eval_gen = SyntheticCriteo(batch_size=512, num_ids_per_col=2000, seed=99)
+    m = trainer.evaluate(state, iter(eval_gen), steps=10)
+    assert m["auc"] > 0.62, f"AUC too low: {m}"
+    # tables actually grew with data
+    assert any(int(t.size) > 100 for t in state.tables.values())
+
+
+def test_training_with_filter_and_eviction():
+    """Counter filter + TTL eviction integrated in a real training loop."""
+
+    model = tiny_model(n_cols=2)
+    opt = cfg.EmbeddingVariableOption(
+        counter_filter=cfg.CounterFilterOption(filter_freq=2),
+        global_step_evict=cfg.GlobalStepEvictOption(steps_to_live=1000),
+        initial_capacity=2 ** 12,
+    )
+    tables = base.make_tables(model, option=opt)
+    trainer = Trainer(
+        model=model,
+        tables=tables,
+        sparse_optimizer=sparse.adagrad(lr=0.05),
+        dense_tx=optax.adagrad(0.05),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=500, seed=2)
+    state = trainer.fit(state, iter(gen), steps=30, log_every=0)
+    # shrink with a huge step: everything should be evictable
+    t0 = state.tables["C1"]
+    t_after = ev.shrink(t0, step=10_000)
+    assert int(t_after.size) == 0
+    # shrink at current step: recent keys survive
+    t_keep = ev.shrink(t0, step=30)
+    assert int(t_keep.size) > 0
+
+
+def test_bf16_training_runs():
+    model = tiny_model(n_cols=2)
+    tables = base.make_tables(model)
+    trainer = Trainer(
+        model=model, tables=tables,
+        sparse_optimizer=sparse.adagrad(lr=0.05),
+        dense_tx=optax.adagrad(0.05), bf16=True,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=128, num_ids_per_col=500, seed=3)
+    state = trainer.fit(state, iter(gen), steps=5, log_every=0)
+    assert np.isfinite(float(state.auc.n_pos))
+
+
+@pytest.mark.parametrize("model_name", ["dlrm", "wdl", "deepfm"])
+def test_model_smoke(model_name):
+    """One train step through each real model (shape/compile check)."""
+
+    import importlib
+
+    mod = importlib.import_module(f"deeprec_tpu.models.{model_name}")
+    model = mod.MODEL
+    specs = {n: dataclasses.replace(s, initial_capacity=2 ** 10)
+             for n, s in model.table_specs.items()}
+    model = dataclasses.replace(model, table_specs=specs)
+    tables = base.make_tables(model)
+    trainer = Trainer(
+        model=model, tables=tables,
+        sparse_optimizer=sparse.adagrad(lr=0.01),
+        dense_tx=optax.adagrad(0.01),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=64, num_ids_per_col=300, seed=4)
+    it = iter(gen)
+    state, m = trainer.train_step(state, next(it))
+    assert np.isfinite(float(m["loss"]))
+    logits, loss = trainer.eval_step(state, next(it))
+    assert logits.shape == (64,)
