@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark: DLRM Criteo-style training throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor: the reference's best published single-node DLRM Criteo
+training throughput — DeepRec + oneDNN + BF16 on a 16-vCPU Xeon 8475B:
+141,266 records/s (modelzoo/dlrm/README.md:164-197; BASELINE.md).
+vs_baseline = our examples/s-per-chip / 141266.06.
+
+Method: full training step (grouped EV lookup-or-insert + DLRM fwd/bwd +
+dense adagrad + sparse adagrad apply) at batch 2048, bf16 dense compute, ids
+drawn power-law from 26 x 1M spaces.  Input batches are pre-generated and
+device-resident so the number reflects the training engine (the input
+pipeline is benchmarked separately; see deeprec_tpu/data).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deeprec_tpu import config as cfg
+    from deeprec_tpu.data.synthetic import SyntheticCriteo
+    from deeprec_tpu.models import base, dlrm
+    from deeprec_tpu.optimizers import sparse
+    from deeprec_tpu.train.loop import Trainer
+
+    BATCH = 2048
+    N_BATCHES = 32
+    WARMUP = 10
+    MEASURE = 200
+    BASELINE = 141266.06
+
+    model = dlrm.MODEL
+    tables = base.make_tables(
+        model,
+        option=cfg.EmbeddingVariableOption(initial_capacity=2 ** 22),
+    )
+    trainer = Trainer(
+        model=model,
+        tables=tables,
+        sparse_optimizer=sparse.adagrad(lr=0.05),
+        dense_tx=optax.adagrad(0.05),
+        bf16=True,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    gen = SyntheticCriteo(batch_size=BATCH, num_ids_per_col=1_000_000, seed=1)
+    rng = np.random.RandomState(7)
+    batches = [jax.device_put(gen.sample(rng)) for _ in range(N_BATCHES)]
+
+    # Warmup: compile + settle table occupancy.
+    for i in range(WARMUP):
+        state, _ = trainer.train_step(state, batches[i % N_BATCHES])
+    jax.block_until_ready(state.step)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE):
+        state, _ = trainer.train_step(state, batches[i % N_BATCHES])
+    jax.block_until_ready(state.step)
+    dt = time.perf_counter() - t0
+
+    value = BATCH * MEASURE / dt
+    print(json.dumps({
+        "metric": "dlrm_criteo_train_examples_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(value / BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

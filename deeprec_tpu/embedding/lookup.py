@@ -78,21 +78,23 @@ def lookup_all(
 
 def combine(
     gathered: jnp.ndarray,
-    lk: ev.Lookup,
+    inverse: jnp.ndarray,
     feat: SparseFeature,
     empty: int,
     combiner: Combiner = Combiner.MEAN,
 ) -> jnp.ndarray:
     """Pure combine: [U, D] unique rows → [B, D] per-example activation.
 
-    Equivalent of the segment-combine in FusedEmbeddingSparsePostLookUp
+    ``inverse`` maps this feature's flattened positions into ``gathered``
+    (a slice of the group Lookup's inverse for grouped tables).  Equivalent of
+    the segment-combine in FusedEmbeddingSparsePostLookUp
     (core/ops/fused_embedding_ops.cc:12-276): padding ids get weight 0; an
     all-padding example yields zeros (the fill-empty-rows behavior).
     """
 
     ids2 = _ids2d(feat.ids)
     b, l = ids2.shape
-    emb = gathered[lk.inverse].reshape(b, l, -1)
+    emb = gathered[inverse].reshape(b, l, -1)
     if feat.weights is not None:
         w = _ids2d(feat.weights).astype(emb.dtype)
     else:
@@ -110,27 +112,9 @@ def combine(
     return out / jnp.maximum(denom, jnp.ones((), emb.dtype))
 
 
-def combine_all(
-    gathered: Dict[str, jnp.ndarray],
-    lks: Dict[str, ev.Lookup],
-    features: Dict[str, SparseFeature],
-    tables: Dict[str, ev.EmbeddingTable],
-    combiner: Combiner = Combiner.MEAN,
-) -> Dict[str, jnp.ndarray]:
-    """Per-feature combined activations {name: [B, D]}; differentiable in
-    ``gathered`` (the group-embedding forward, one XLA fusion per feature)."""
-
-    out = {}
-    for name, feat in features.items():
-        tname = name.split(":")[0]
-        out[name] = combine(gathered[name], lks[name], feat,
-                            tables[tname].empty, combiner)
-    return out
-
-
 def sequence_embedding(
     gathered: jnp.ndarray,
-    lk: ev.Lookup,
+    inverse: jnp.ndarray,
     feat: SparseFeature,
     empty: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -143,7 +127,7 @@ def sequence_embedding(
 
     ids2 = _ids2d(feat.ids)
     b, l = ids2.shape
-    emb = gathered[lk.inverse].reshape(b, l, -1)
+    emb = gathered[inverse].reshape(b, l, -1)
     mask = (ids2 != empty)
     return emb * mask[:, :, None].astype(emb.dtype), mask
 

@@ -245,10 +245,19 @@ def _find_or_insert(
 
         is_empty_slot = cur == empty_key(keys_.dtype)
         wants = pending & is_empty_slot & may_insert
-        # Deterministic claim: lowest candidate index wins each slot.
-        claim = jnp.full((capacity,), n, jnp.int32)
-        claim = claim.at[jnp.where(wants, slot, no_slot)].min(idx, mode="drop")
-        won = wants & (claim.at[slot].get(mode="fill", fill_value=n) == idx)
+        # Deterministic claim without touching O(capacity) memory: stable-sort
+        # candidate slots; the first id in each equal-slot run wins.  Cost is
+        # O(U log U) per round regardless of table size (the scatter-min
+        # alternative writes an O(C) claim array every round — at 2^21 slots
+        # that is 8 MB of HBM traffic per probe round).
+        skey = jnp.where(wants, slot, no_slot)
+        order = jnp.argsort(skey, stable=True)
+        ss = skey[order]
+        first_in_run = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), ss[1:] != ss[:-1]]
+        )
+        winner_sorted = first_in_run & (ss < no_slot)
+        won = jnp.zeros_like(wants).at[order].set(winner_sorted)
         keys_ = keys_.at[jnp.where(won, slot, no_slot)].set(ids, mode="drop")
         slots_ = jnp.where(won, slot, slots_)
         inserted = inserted | won

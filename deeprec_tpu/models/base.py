@@ -35,6 +35,12 @@ class TableSpec:
     initial_capacity: int = 2 ** 14
     shared_features: Sequence[str] = ()   # extra feature names using this table
     feature: Optional[str] = None   # batch column to read (defaults to name)
+    # Group-embedding: tables with the same group name and dim share ONE
+    # physical hash table (tf.nn.group_embedding_lookup capability; see
+    # deeprec_tpu/embedding/group.py).  id_bits bounds each member's raw id
+    # space (hash-bucket semantics).
+    group: Optional[str] = None
+    id_bits: int = 26
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,11 +58,22 @@ def make_tables(
     key_dtype=jnp.int32,
     value_dtype=jnp.float32,
 ) -> Dict[str, ev.EmbeddingTable]:
+    """Create the physical tables for a model (grouped per the group plan)."""
+
+    from deeprec_tpu.embedding import group as grp
+
+    plan = grp.plan_groups(model.table_specs)
     tables = {}
-    for name, spec in model.table_specs.items():
+    max_key = int(jnp.iinfo(key_dtype).max)
+    for name, pspec in plan.physical.items():
+        if (len(pspec.members) - 1) << pspec.id_bits > max_key:
+            raise ValueError(
+                f"physical table {name}: {len(pspec.members)} members x "
+                f"id_bits={pspec.id_bits} overflows {key_dtype}"
+            )
         opt = option or cfg.EmbeddingVariableOption()
-        opt = dataclasses.replace(opt, initial_capacity=spec.initial_capacity)
-        tables[name] = ev.create(name, spec.dim, key_dtype=key_dtype,
+        opt = dataclasses.replace(opt, initial_capacity=pspec.initial_capacity)
+        tables[name] = ev.create(name, pspec.dim, key_dtype=key_dtype,
                                  value_dtype=value_dtype, option=opt)
     return tables
 

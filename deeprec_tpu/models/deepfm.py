@@ -19,12 +19,12 @@ HIDDEN = [1024, 512, 256, 1]
 
 def _specs():
     specs = {
-        c: base.TableSpec(name=c, dim=EMB_DIM, combiner=cfg.Combiner.MEAN)
+        c: base.TableSpec(name=c, dim=EMB_DIM, combiner=cfg.Combiner.MEAN, group="emb")
         for c in base.CATEGORICAL_COLUMNS
     }
     for c in base.CATEGORICAL_COLUMNS:
         specs[f"fo_{c}"] = base.TableSpec(
-            name=f"fo_{c}", dim=1, combiner=cfg.Combiner.SUM, feature=c
+            name=f"fo_{c}", dim=1, combiner=cfg.Combiner.SUM, feature=c, group="fo"
         )
     return specs
 

@@ -21,7 +21,7 @@ MLP_TOP = [512, 256, 1]
 
 def _specs():
     return {
-        c: base.TableSpec(name=c, dim=EMB_DIM, combiner=cfg.Combiner.MEAN)
+        c: base.TableSpec(name=c, dim=EMB_DIM, combiner=cfg.Combiner.MEAN, group="emb")
         for c in base.CATEGORICAL_COLUMNS
     }
 

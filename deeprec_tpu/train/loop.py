@@ -2,25 +2,30 @@
 
 The functional replacement for the reference's MonitoredTrainingSession loop
 (modelzoo/wide_and_deep/train.py:534-588): one jitted ``train_step`` performs
-  lookup-phase → value-and-grad over (dense params, gathered rows)
+  grouped lookup-phase → value-and-grad over (dense params, gathered rows)
   → dense optax update + sparse table update,
 and the host loop handles the things XLA can't: dynamic table growth
 (capacity doubling, EV dynamic-shape semantics), checkpoint cadence, logging.
+
+All embedding traffic flows through the group plan
+(deeprec_tpu/embedding/group.py): logical tables stacked into few physical
+tables → one lookup-or-insert + one sparse-apply subgraph per group instead of
+per feature (the GroupEmbedding capability, and the reason compile time and
+step time stay flat as models add features).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from deeprec_tpu import config as cfg
+from deeprec_tpu.embedding import group as grp
 from deeprec_tpu.embedding import lookup as lkp
 from deeprec_tpu.embedding import table as ev
 from deeprec_tpu.models import base
@@ -42,29 +47,14 @@ def _bce(logits, labels):
 
 
 def make_features(model: base.RecModel, batch: Dict) -> Dict[str, lkp.SparseFeature]:
+    """Logical feature name -> SparseFeature, including shared-table extras."""
+
     feats = {}
     for name, spec in model.table_specs.items():
         feats[name] = lkp.SparseFeature(ids=batch["cat"][spec.feature or name])
         for extra in spec.shared_features:
             feats[f"{name}:{extra}"] = lkp.SparseFeature(ids=batch["cat"][extra])
     return feats
-
-
-def make_acts(model, gathered, lks, features, tables, compute_dtype):
-    """Per-feature activations: combined [B,D] or (seq [B,L,D], mask)."""
-
-    acts = {}
-    for fname, feat in features.items():
-        tname = fname.split(":")[0]
-        spec = model.table_specs[tname]
-        g = gathered[fname].astype(compute_dtype)
-        if spec.sequence:
-            acts[fname] = lkp.sequence_embedding(g, lks[fname], feat,
-                                                 tables[tname].empty)
-        else:
-            acts[fname] = lkp.combine(g, lks[fname], feat,
-                                      tables[tname].empty, spec.combiner)
-    return acts
 
 
 @dataclasses.dataclass
@@ -80,6 +70,8 @@ class Trainer:
 
     def __post_init__(self):
         self.compute_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        self.plan = grp.plan_groups(self.model.table_specs)
+        # feature name -> logical table name (strip ":extra" suffix)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
@@ -94,18 +86,71 @@ class Trainer:
             auc=M.AucState.create(),
         )
 
+    # -- grouped lookup plumbing -------------------------------------------
+
+    def _grouped_lookup(self, tables, features, step, train):
+        """One lookup-or-insert per physical table; returns per-feature
+        (physical name, inverse-slice) handles for combine."""
+
+        plan = self.plan
+        new_tables = dict(tables)
+        lks: Dict[str, ev.Lookup] = {}
+        gathered: Dict[str, jnp.ndarray] = {}
+        handles: Dict[str, Tuple[str, Tuple[int, int]]] = {}
+        for pname, pspec in plan.physical.items():
+            parts = []
+            off = 0
+            grouped = len(pspec.members) > 1
+            empty = new_tables[pname].empty
+            for lname, fidx in pspec.members:
+                fnames = [lname] + [
+                    f"{lname}:{x}"
+                    for x in self.model.table_specs[lname].shared_features
+                ]
+                for fname in fnames:
+                    ids2 = lkp._ids2d(features[fname].ids)
+                    n = ids2.shape[0] * ids2.shape[1]
+                    gk = grp.group_key(
+                        ids2.reshape(-1), fidx if grouped else None,
+                        pspec.id_bits, empty,
+                    )
+                    parts.append(gk)
+                    handles[fname] = (pname, (off, n))
+                    off += n
+            flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            tbl, lk = ev.lookup_phase(new_tables[pname], flat, step=step,
+                                      train=train)
+            new_tables[pname] = tbl
+            lks[pname] = lk
+            gathered[pname] = ev.collect(tbl, lk)
+        return new_tables, lks, gathered, handles
+
+    def _make_acts(self, gathered, lks, handles, features, tables):
+        acts = {}
+        for fname, feat in features.items():
+            lname = fname.split(":")[0]
+            spec = self.model.table_specs[lname]
+            pname, (off, n) = handles[fname]
+            inverse = jax.lax.dynamic_slice_in_dim(lks[pname].inverse, off, n)
+            g = gathered[pname].astype(self.compute_dtype)
+            empty = tables[pname].empty
+            if spec.sequence:
+                acts[fname] = lkp.sequence_embedding(g, inverse, feat, empty)
+            else:
+                acts[fname] = lkp.combine(g, inverse, feat, empty, spec.combiner)
+        return acts
+
     # -- jitted bodies ------------------------------------------------------
 
     def _train_step_impl(self, state: TrainState, batch: Dict):
         model = self.model
         features = make_features(model, batch)
-        tables, lks, gathered = lkp.lookup_all(
-            state.tables, features, step=state.step, train=True
+        tables, lks, gathered, handles = self._grouped_lookup(
+            state.tables, features, state.step, True
         )
 
         def loss_fn(params, gathered):
-            acts = make_acts(model, gathered, lks, features, tables,
-                             self.compute_dtype)
+            acts = self._make_acts(gathered, lks, handles, features, tables)
             dense_in = dict(batch)
             dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
             logits = model.forward(params, dense_in, acts, True)
@@ -117,10 +162,11 @@ class Trainer:
 
         updates, opt_state = self.dense_tx.update(gp, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        tables = lkp.apply_gradients(
-            tables, lks, gg, self.sparse_optimizer,
-            step=state.step, use_counts=self.use_counts,
-        )
+        for pname, g in gg.items():
+            tables[pname] = self.sparse_optimizer.apply(
+                tables[pname], lks[pname], g,
+                step=state.step, use_counts=self.use_counts,
+            )
         auc = M.auc_update(state.auc, logits, batch["label"])
         new_state = state.replace(
             params=params, opt_state=opt_state, tables=tables,
@@ -131,11 +177,10 @@ class Trainer:
     def _eval_step_impl(self, state: TrainState, batch: Dict):
         model = self.model
         features = make_features(model, batch)
-        _, lks, gathered = lkp.lookup_all(
-            state.tables, features, step=state.step, train=False
+        _, lks, gathered, handles = self._grouped_lookup(
+            state.tables, features, state.step, False
         )
-        acts = make_acts(model, gathered, lks, features, state.tables,
-                         self.compute_dtype)
+        acts = self._make_acts(gathered, lks, handles, features, state.tables)
         dense_in = dict(batch)
         dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
         logits = model.forward(state.params, dense_in, acts, False)
