@@ -330,6 +330,7 @@ def _lookup_phase(
     *,
     step: jnp.ndarray | int = 0,
     train: bool = True,
+    external_counts: Optional[jnp.ndarray] = None,
 ) -> Tuple[EmbeddingTable, Lookup]:
     """Resolve a batch of raw (possibly duplicated) ids to table slots.
 
@@ -338,11 +339,20 @@ def _lookup_phase(
     the work of EmbeddingVar::LookupOrCreateKey + FilterPolicy::Lookup
     (embedding_var.h:202-219, counter_filter_policy.h:106-136).  Inference mode
     (train=False) never mutates: unknown ids read the no-permission default.
+
+    ``external_counts`` (same shape as ids) overrides the per-position
+    occurrence count of 1 — used by the sharded path, where each received id
+    already aggregates several source occurrences.
     """
 
     ids = ids.reshape(-1).astype(table.key_dtype)
     emp = table.empty
     uids, counts, inverse = unique_ids(ids, emp)
+    if external_counts is not None:
+        counts = jax.ops.segment_sum(
+            external_counts.reshape(-1).astype(jnp.int32), inverse,
+            num_segments=uids.shape[0],
+        ).astype(jnp.int32)
     valid = uids != emp
     opt = table.option
     step = jnp.asarray(step, jnp.int32)

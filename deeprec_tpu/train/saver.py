@@ -1,0 +1,344 @@
+"""Checkpointing: full + incremental saves with reshard-on-restore.
+
+TPU-native equivalent of the reference's EV checkpoint stack (SURVEY.md §3.4):
+
+  * Full save (SaveV3, save_restore_v2_ops.cc:274): per physical table the
+    live keys/values/freqs/versions (+ per-optimizer-slot values) are dumped
+    sorted by a 1000-way logical partition of the key hash, with a
+    partition-offset index — exactly the reference's ``kSavedPartitionNum``
+    trick (kv_interface.h:26, embedding_var_ckpt_data.cc:103) that makes
+    restoring onto a *different* shard count a cheap file-slice operation:
+    new shard ``s`` of ``S`` loads every saved sub-partition ``p`` with
+    ``p % S == s`` (embedding_var_restore.cc:337-339).
+  * Shrink-on-save: TTL / L2 eviction policies applied at save time
+    (DumpEv, save_restore_v2_ops.cc:296-310).
+  * Incremental save (IncrSave, incr_save_restore_ops.cc): tables created
+    with ``record_touched`` accumulate a touched-key mask per interval; the
+    delta dump carries only touched rows; restore = full + deltas in order
+    (KvResourceIncrImport).  Serving consumes the same deltas for sub-minute
+    online updates.
+
+Storage is plain ``.npz`` + JSON in a checkpoint directory — no external
+services; artifacts are host-memory-bounded per table shard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeprec_tpu.embedding import table as ev
+from deeprec_tpu.ops import hashing
+
+SAVED_PARTITIONS = 1000
+
+
+# ---------------------------------------------------------------------------
+# pytree <-> npz
+
+
+def _flatten_params(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_params(template, flat: Dict[str, np.ndarray]):
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in leaves_with_path:
+        key = "/".join(str(p) for p in path)
+        arr = flat[key]
+        leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# table export / import
+
+
+def _partition_of(keys: np.ndarray) -> np.ndarray:
+    h = np.asarray(jax.device_get(
+        hashing.hash_to_u32(jnp.asarray(keys), salt=31)))
+    return (h % SAVED_PARTITIONS).astype(np.int32)
+
+
+def _export_table_host(table: ev.EmbeddingTable, *, shrink_step=None) -> Dict:
+    """One table (or one shard) -> host dict of live rows sorted by logical
+    partition, with partition offsets."""
+
+    if shrink_step is not None:
+        table = ev.shrink(table, shrink_step)
+    keys, values, freqs, versions, live = (
+        np.asarray(jax.device_get(x)) if x is not None else None
+        for x in ev.export_live(table)
+    )
+    live = live.astype(bool)
+    keys = keys[live]
+    out = {"keys": keys, "values": values[live]}
+    if freqs is not None:
+        out["freqs"] = freqs[live]
+    if versions is not None:
+        out["versions"] = versions[live]
+    for sname, sval in table.slots.items():
+        out[f"slot_{sname}"] = np.asarray(jax.device_get(sval))[live]
+    return out
+
+
+def _merge_and_partition(parts: List[Dict]) -> Tuple[Dict, np.ndarray]:
+    merged = {}
+    for k in parts[0]:
+        merged[k] = np.concatenate([p[k] for p in parts], axis=0)
+    part = _partition_of(merged["keys"])
+    order = np.argsort(part, kind="stable")
+    for k in merged:
+        merged[k] = merged[k][order]
+    psorted = part[order]
+    offsets = np.searchsorted(psorted, np.arange(SAVED_PARTITIONS + 1))
+    return merged, offsets.astype(np.int64)
+
+
+def _table_shards(table: ev.EmbeddingTable) -> List[ev.EmbeddingTable]:
+    """A stacked (sharded) table [S, ...] -> list of per-shard tables."""
+
+    if table.keys.ndim == 1:
+        return [table]
+    from deeprec_tpu.parallel.trainer import local_view
+
+    s = table.keys.shape[0]
+    out = []
+    for i in range(s):
+        shard = jax.tree.map(lambda x: x[i:i + 1], table)
+        out.append(local_view(shard))
+    return out
+
+
+def save_table(path: str, table: ev.EmbeddingTable, *, shrink_step=None):
+    parts = [_export_table_host(t, shrink_step=shrink_step)
+             for t in _table_shards(table)]
+    merged, offsets = _merge_and_partition(parts)
+    np.savez(path, partition_offsets=offsets, **merged)
+
+
+def restore_table(
+    path: str,
+    template: ev.EmbeddingTable,
+    *,
+    shard_index: int = 0,
+    num_shards: int = 1,
+) -> ev.EmbeddingTable:
+    """Load this shard's sub-partitions (p % num_shards == shard_index) and
+    bulk-insert into a fresh table built from ``template``."""
+
+    data = np.load(path)
+    offsets = data["partition_offsets"]
+    sel = [np.arange(offsets[p], offsets[p + 1])
+           for p in range(SAVED_PARTITIONS) if p % num_shards == shard_index]
+    idx = (np.concatenate(sel) if sel else np.arange(0)).astype(np.int64)
+
+    keys = data["keys"][idx]
+    n = len(keys)
+    cap = template.capacity
+    while n > template.option.max_load_factor * cap:
+        cap *= 2
+    fresh = ev.create(template.name, template.dim,
+                      key_dtype=template.key_dtype,
+                      value_dtype=template.value_dtype,
+                      option=template.option, capacity=cap)
+    for sname in template.slots:
+        fresh = ev.with_slot(fresh, sname,
+                             width=template.slots[sname].shape[-1])
+    if n == 0:
+        return fresh
+    return _bulk_import(fresh, data, idx)
+
+
+def _bulk_import(fresh: ev.EmbeddingTable, data, idx) -> ev.EmbeddingTable:
+    keys = jnp.asarray(data["keys"][idx], fresh.key_dtype)
+    valid = jnp.ones(keys.shape, jnp.bool_)
+    new_keys, slots, inserted, n_failed = ev._find_or_insert(
+        fresh.keys, keys, valid, valid)
+    dst = jnp.where(inserted, slots, jnp.int32(fresh.capacity))
+
+    def put(arr, host):
+        return arr.at[dst].set(jnp.asarray(host, arr.dtype), mode="drop")
+
+    values = put(fresh.values, data["values"][idx])
+    freqs = (put(fresh.freqs, data["freqs"][idx])
+             if fresh.freqs is not None and "freqs" in data else fresh.freqs)
+    versions = (put(fresh.versions, data["versions"][idx])
+                if fresh.versions is not None and "versions" in data
+                else fresh.versions)
+    slots_d = dict(fresh.slots)
+    for sname in fresh.slots:
+        k = f"slot_{sname}"
+        if k in data:
+            slots_d[sname] = put(fresh.slots[sname], data[k][idx])
+    return fresh.replace(
+        keys=new_keys, values=values, freqs=freqs, versions=versions,
+        slots=slots_d, size=fresh.size + jnp.sum(inserted).astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental
+
+
+def save_table_delta(path: str, table: ev.EmbeddingTable) -> ev.EmbeddingTable:
+    """Dump rows touched since the last (full or delta) save; clears the
+    recorder.  Returns the table with the recorder cleared."""
+
+    if table.touched is None:
+        raise ValueError(
+            f"table {table.name}: incremental save requires record_touched")
+    shards = _table_shards(table)
+    parts = []
+    for t in shards:
+        touched = np.asarray(jax.device_get(t.touched)).astype(bool)
+        live = np.asarray(jax.device_get(t.keys != t.empty))
+        m = touched & live
+        part = {"keys": np.asarray(jax.device_get(t.keys))[m],
+                "values": np.asarray(jax.device_get(t.values))[m]}
+        if t.freqs is not None:
+            part["freqs"] = np.asarray(jax.device_get(t.freqs))[m]
+        if t.versions is not None:
+            part["versions"] = np.asarray(jax.device_get(t.versions))[m]
+        for sname, sval in t.slots.items():
+            part[f"slot_{sname}"] = np.asarray(jax.device_get(sval))[m]
+        parts.append(part)
+    merged, offsets = _merge_and_partition(parts)
+    np.savez(path, partition_offsets=offsets, **merged)
+    cleared = table.replace(touched=jnp.zeros_like(table.touched))
+    return cleared
+
+
+def apply_table_delta(
+    table: ev.EmbeddingTable,
+    path: str,
+    *,
+    shard_index: int = 0,
+    num_shards: int = 1,
+) -> ev.EmbeddingTable:
+    """Upsert delta rows into an existing table (KvResourceIncrImport)."""
+
+    data = np.load(path)
+    offsets = data["partition_offsets"]
+    sel = [np.arange(offsets[p], offsets[p + 1])
+           for p in range(SAVED_PARTITIONS) if p % num_shards == shard_index]
+    idx = (np.concatenate(sel) if sel else np.arange(0)).astype(np.int64)
+    if len(idx) == 0:
+        return table
+    keys = jnp.asarray(data["keys"][idx], table.key_dtype)
+    valid = jnp.ones(keys.shape, jnp.bool_)
+    new_keys, slots, inserted, _ = ev._find_or_insert(
+        table.keys, keys, valid, valid)
+    found = slots < table.capacity
+    dst = jnp.where(found, slots, jnp.int32(table.capacity))
+
+    def put(arr, host):
+        return arr.at[dst].set(jnp.asarray(host, arr.dtype), mode="drop")
+
+    values = put(table.values, data["values"][idx])
+    freqs = (put(table.freqs, data["freqs"][idx])
+             if table.freqs is not None and "freqs" in data else table.freqs)
+    versions = (put(table.versions, data["versions"][idx])
+                if table.versions is not None and "versions" in data
+                else table.versions)
+    slots_d = dict(table.slots)
+    for sname in table.slots:
+        k = f"slot_{sname}"
+        if k in data:
+            slots_d[sname] = put(table.slots[sname], data[k][idx])
+    return table.replace(
+        keys=new_keys, values=values, freqs=freqs, versions=versions,
+        slots=slots_d, size=table.size + jnp.sum(inserted).astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# full TrainState checkpoints
+
+
+def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
+                    shrink: bool = False) -> str:
+    """Full checkpoint of a TrainState (local or distributed)."""
+
+    step = int(state.step) if step is None else step
+    d = os.path.join(ckpt_dir, f"step_{step}")
+    os.makedirs(d, exist_ok=True)
+    np.savez(os.path.join(d, "dense.npz"),
+             **_flatten_params({"params": state.params,
+                                "opt_state": state.opt_state,
+                                "auc": state.auc}))
+    meta = {"step": step, "tables": {}}
+    for name, t in state.tables.items():
+        fname = f"table_{name}.npz"
+        save_table(os.path.join(d, fname), t,
+                   shrink_step=state.step if shrink else None)
+        meta["tables"][name] = fname
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(ckpt_dir, "checkpoint"), "w") as f:
+        json.dump({"latest": f"step_{step}"}, f)
+    return d
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    marker = os.path.join(ckpt_dir, "checkpoint")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return os.path.join(ckpt_dir, json.load(f)["latest"])
+
+
+def restore_checkpoint(ckpt_path: str, state_template, *,
+                       num_shards: int = 1):
+    """Restore into a (possibly differently-sharded) state template.
+
+    ``num_shards`` > 1 rebuilds each table's stacked [S, ...] layout by
+    loading each shard's sub-partitions — elastic re-shard on restore.
+    """
+
+    with open(os.path.join(ckpt_path, "meta.json")) as f:
+        meta = json.load(f)
+    dense = dict(np.load(os.path.join(ckpt_path, "dense.npz")))
+    restored_dense = _unflatten_params(
+        {"params": state_template.params,
+         "opt_state": state_template.opt_state,
+         "auc": state_template.auc}, dense)
+    tables = {}
+    for name, t in state_template.tables.items():
+        fname = os.path.join(ckpt_path, meta["tables"][name])
+        if t.keys.ndim == 1:
+            tables[name] = restore_table(fname, t, shard_index=0, num_shards=1)
+        else:
+            from deeprec_tpu.parallel.trainer import local_view, relift
+            import jax as _jax
+
+            s = t.keys.shape[0]
+            shards = []
+            tmpl = local_view(_jax.tree.map(lambda x: x[0:1], t))
+            for i in range(s):
+                shards.append(restore_table(fname, tmpl, shard_index=i,
+                                            num_shards=s))
+            # shards may differ in capacity after load-based growth: align
+            cap = max(sh_.capacity for sh_ in shards)
+            shards = [ev.grow(sh_, cap) if sh_.capacity < cap else sh_
+                      for sh_ in shards]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+            tables[name] = stacked
+    return state_template.replace(
+        params=restored_dense["params"],
+        opt_state=restored_dense["opt_state"],
+        auc=restored_dense["auc"],
+        tables=tables,
+        step=jnp.asarray(meta["step"], jnp.int32),
+    )

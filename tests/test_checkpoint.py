@@ -1,0 +1,163 @@
+"""Checkpoint tests: full/incremental round-trips + elastic re-shard.
+
+Mirrors the reference's save/restore coverage: partition offsets, re-shard on
+restore (embedding_variable_ops_test.py partition cases), incremental deltas
+(training/incr_ckpt_test.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from deeprec_tpu import config as cfg
+from deeprec_tpu.data.synthetic import SyntheticCriteo
+from deeprec_tpu.embedding import table as ev
+from deeprec_tpu.models import base
+from deeprec_tpu.optimizers import sparse
+from deeprec_tpu.train import saver
+from deeprec_tpu.train.loop import Trainer
+from tests.test_train_e2e import tiny_model
+
+
+def _filled_table(n=500, dim=8, **opt_kw):
+    opt = cfg.EmbeddingVariableOption(record_touched=True, **opt_kw)
+    t = ev.create("t", dim=dim, capacity=2 ** 11, option=opt)
+    o = sparse.adagrad(lr=0.1)
+    t = o.init(t)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 10 ** 8, n), jnp.int32)
+    t, lk = ev.lookup_phase(t, ids, step=3)
+    g = jnp.ones((lk.uids.shape[0], dim), jnp.float32)
+    t = o.apply(t, lk, g, step=3)
+    return t, ids
+
+
+def test_table_roundtrip(tmp_path):
+    t, ids = _filled_table()
+    p = str(tmp_path / "t.npz")
+    saver.save_table(p, t)
+    t2 = saver.restore_table(p, t)
+    # values identical for every key
+    want = np.asarray(ev.lookup(t, ids))
+    got = np.asarray(ev.lookup(t2, ids))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # freqs / versions / slots restored
+    np.testing.assert_array_equal(
+        np.asarray(ev.get_frequency(t2, ids)), np.asarray(ev.get_frequency(t, ids)))
+    np.testing.assert_array_equal(
+        np.asarray(ev.get_version(t2, ids)), np.asarray(ev.get_version(t, ids)))
+    assert int(t2.size) == int(t.size)
+
+
+@pytest.mark.parametrize("num_shards", [2, 3, 5])
+def test_reshard_on_restore(tmp_path, num_shards):
+    """1 shard -> N shards: every key lands on exactly one shard, values
+    preserved (the 1000-partition trick)."""
+
+    t, ids = _filled_table(n=400)
+    p = str(tmp_path / "t.npz")
+    saver.save_table(p, t)
+    shards = [saver.restore_table(p, t, shard_index=i, num_shards=num_shards)
+              for i in range(num_shards)]
+    total = sum(int(s.size) for s in shards)
+    assert total == int(t.size)
+    want = np.asarray(ev.lookup(t, ids))
+    # each id must be found on exactly one shard with the right value
+    found_count = np.zeros(len(np.asarray(ids)), np.int32)
+    for s in shards:
+        c = np.asarray(ev.contains(s, ids))
+        got = np.asarray(ev.lookup(s, ids))
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-6)
+        found_count += c.astype(np.int32)
+    np.testing.assert_array_equal(found_count, 1)
+
+
+def test_incremental_delta(tmp_path):
+    t, ids = _filled_table(n=300)
+    full = str(tmp_path / "full.npz")
+    saver.save_table(full, t)
+    t = t.replace(touched=jnp.zeros_like(t.touched))
+
+    # touch a subset with an update
+    o = sparse.adagrad(lr=0.1)
+    sub = ids[:50]
+    t, lk = ev.lookup_phase(t, sub, step=9)
+    t = o.apply(t, lk, jnp.full((lk.uids.shape[0], t.dim), 2.0), step=9)
+    # plus brand-new keys
+    newids = jnp.asarray([10 ** 9 + 1, 10 ** 9 + 2], jnp.int32)
+    t, lk2 = ev.lookup_phase(t, newids, step=9)
+    t = o.apply(t, lk2, jnp.ones((lk2.uids.shape[0], t.dim)), step=9)
+
+    delta = str(tmp_path / "delta.npz")
+    t = saver.save_table_delta(delta, t)
+    assert not bool(jnp.any(t.touched))
+    d = np.load(delta)
+    assert len(d["keys"]) <= 60  # only touched rows dumped
+
+    # restore = full + delta
+    t2 = saver.restore_table(full, t)
+    t2 = saver.apply_table_delta(t2, delta)
+    want = np.asarray(ev.lookup(t, jnp.concatenate([ids, newids])))
+    got = np.asarray(ev.lookup(t2, jnp.concatenate([ids, newids])))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_trainstate_checkpoint_roundtrip(tmp_path):
+    model = tiny_model(n_cols=2)
+    tables = base.make_tables(model)
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=128, num_ids_per_col=400, seed=1)
+    it = iter(gen)
+    for _ in range(5):
+        state, _ = tr.train_step(state, next(it))
+
+    d = saver.save_checkpoint(str(tmp_path), state)
+    assert saver.latest_checkpoint(str(tmp_path)) == d
+
+    fresh = tr.init_state(jax.random.PRNGKey(0))
+    restored = saver.restore_checkpoint(d, fresh)
+    assert int(restored.step) == 5
+    # continue training from the restored state: losses match exactly
+    b = next(it)
+    s1, m1 = tr.train_step(state, b)
+    s2, m2 = tr.train_step(restored, b)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_distributed_checkpoint_reshard(tmp_path):
+    """Train sharded 8-way, save, restore single-device: same predictions."""
+
+    from jax.sharding import Mesh
+    from deeprec_tpu.parallel.trainer import DistributedTrainer
+
+    model = tiny_model(n_cols=2)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    dt = DistributedTrainer(model=model, mesh=mesh,
+                            sparse_optimizer=sparse.adagrad(lr=0.05),
+                            dense_tx=optax.adagrad(0.05),
+                            per_shard_capacity=2 ** 10)
+    dstate = dt.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=400, seed=2)
+    it = iter(gen)
+    for _ in range(5):
+        dstate, _ = dt.train_step(dstate, next(it))
+    d = saver.save_checkpoint(str(tmp_path), dstate)
+
+    # restore into a single-device trainer
+    tables = base.make_tables(model)
+    lt = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05))
+    lstate = lt.init_state(jax.random.PRNGKey(1))
+    restored = saver.restore_checkpoint(d, lstate)
+
+    b = next(it)
+    dlogits, _ = dt.eval_step(dstate, b)
+    llogits, _ = lt.eval_step(restored, b)
+    np.testing.assert_allclose(np.asarray(llogits), np.asarray(dlogits),
+                               rtol=1e-4, atol=1e-5)
