@@ -48,8 +48,12 @@ class RecModel:
     name: str
     table_specs: Dict[str, TableSpec]
     init_params: Callable           # (prng_key) -> params pytree
-    forward: Callable               # (params, batch, acts, train) -> logits [B]
+    # forward(params, batch, acts, train) -> logits [B], or {task: logits [B]}
+    # for multi-task models (tasks non-empty; labels read from
+    # batch["labels"][task]).
+    forward: Callable
     dense_dim: int = 13
+    tasks: Sequence[str] = ()
 
 
 def make_tables(

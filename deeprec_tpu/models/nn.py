@@ -208,3 +208,68 @@ def augru_apply(p: Params, xs: jnp.ndarray, att: jnp.ndarray,
 
 def count_params(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+def din_attention_init(key, dim: int, hidden=(80, 40)) -> Params:
+    """DIN local activation unit: MLP over [h, t, h-t, h*t] -> score."""
+
+    return {"mlp": mlp_init(key, 4 * dim, list(hidden) + [1])}
+
+
+def din_attention_apply(p: Params, hist, target, mask):
+    """hist [B,L,D], target [B,D], mask [B,L] -> (pooled [B,D], scores [B,L])."""
+
+    b, l, d = hist.shape
+    t = jnp.broadcast_to(target[:, None, :], (b, l, d))
+    x = jnp.concatenate([hist, t, hist - t, hist * t], axis=-1)
+    scores = mlp_apply(p["mlp"], x.reshape(b * l, 4 * d),
+                       activation=jax.nn.sigmoid).reshape(b, l)
+    scores = jnp.where(mask, scores, -1e9)
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=1).astype(hist.dtype)
+    return jnp.einsum("bl,bld->bd", w, hist), w
+
+
+def mha_init(key, dim: int, num_heads: int) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "wq": glorot(k1, (dim, dim)), "wk": glorot(k2, (dim, dim)),
+        "wv": glorot(k3, (dim, dim)), "wo": glorot(k4, (dim, dim)),
+    }
+
+
+def mha_apply(p: Params, x: jnp.ndarray, mask: jnp.ndarray,
+              num_heads: int = 2) -> jnp.ndarray:
+    """Self-attention over [B, L, D] with [B, L] validity mask."""
+
+    b, l, d = x.shape
+    h = num_heads
+    dh = d // h
+
+    def proj(w):
+        y = jnp.einsum("bld,de->ble", x, w.astype(x.dtype))
+        return y.reshape(b, l, h, dh).transpose(0, 2, 1, 3)  # [B,H,L,dh]
+
+    q, k, v = proj(p["wq"]), proj(p["wk"]), proj(p["wv"])
+    att = jnp.einsum("bhld,bhmd->bhlm", q, k) / jnp.sqrt(jnp.float32(dh)).astype(x.dtype)
+    att = jnp.where(mask[:, None, None, :], att, jnp.asarray(-1e9, att.dtype))
+    w = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhlm,bhmd->bhld", w, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, l, d)
+    return jnp.einsum("bld,de->ble", o, p["wo"].astype(x.dtype))
+
+
+def transformer_block_init(key, dim: int, num_heads: int, ff: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "mha": mha_init(k1, dim, num_heads),
+        "ln1": layer_norm_init(dim),
+        "ln2": layer_norm_init(dim),
+        "ff": mlp_init(k2, dim, [ff, dim]),
+    }
+
+
+def transformer_block_apply(p: Params, x, mask, num_heads: int = 2):
+    y = x + mha_apply(p["mha"], layer_norm_apply(p["ln1"], x), mask, num_heads)
+    z = y + mlp_apply(p["ff"], layer_norm_apply(p["ln2"], y),
+                      activation=jax.nn.relu)
+    return z

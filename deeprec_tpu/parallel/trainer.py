@@ -35,7 +35,7 @@ from deeprec_tpu.models import base
 from deeprec_tpu.optimizers import sparse as sparse_opt
 from deeprec_tpu.parallel import sharded as sh
 from deeprec_tpu.train import metrics as M
-from deeprec_tpu.train.loop import TrainState, _bce, make_features
+from deeprec_tpu.train.loop import TrainState, _bce, make_features, model_loss
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +241,7 @@ class DistributedTrainer:
                 rows = rows.astype(self.compute_dtype)
                 ident = jnp.arange(n, dtype=jnp.int32)
                 empty = tables[pname].empty
-                if spec.sequence:
+                if feat.ids.ndim >= 2:
                     acts[fname] = lkp.sequence_embedding(rows, ident, feat, empty)
                 else:
                     acts[fname] = lkp.combine(rows, ident, feat, empty,
@@ -249,13 +249,14 @@ class DistributedTrainer:
             dense_in = dict(batch)
             dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
             logits = model.forward(params, dense_in, acts, train)
-            return _bce(logits, batch["label"]), logits
+            loss, plogits, plabels = model_loss(model, logits, batch)
+            return loss, (plogits, plabels)
 
         if not train:
-            loss, logits = loss_fn(state.params, looked)
+            loss, (logits, _) = loss_fn(state.params, looked)
             return logits, lax.pmean(loss, axis)
 
-        (loss, logits), (gp, gl) = jax.value_and_grad(
+        (loss, (logits, plabels)), (gp, gl) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(state.params, looked)
 
         # dense: sync data-parallel all-reduce
@@ -271,7 +272,7 @@ class DistributedTrainer:
                 step=state.step, use_counts=self.use_counts)
 
         # replicated streaming AUC: accumulate global deltas
-        delta = M.auc_update(M.AucState.create(), logits, batch["label"])
+        delta = M.auc_update(M.AucState.create(), logits, plabels)
         auc = M.AucState(
             tp=state.auc.tp + lax.psum(delta.tp, axis),
             fp=state.auc.fp + lax.psum(delta.fp, axis),

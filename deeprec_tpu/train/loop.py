@@ -46,6 +46,23 @@ def _bce(logits, labels):
         logits.astype(jnp.float32), labels))
 
 
+def model_loss(model: base.RecModel, logits, batch):
+    """Single-task BCE, or summed per-task BCE for multi-task models.
+
+    Returns (loss, primary_logits, primary_labels) — primary = first task,
+    used for the streaming AUC (the modelzoo convention of reporting the
+    main task's AUC).
+    """
+
+    if not model.tasks:
+        return _bce(logits, batch["label"]), logits, batch["label"]
+    loss = 0.0
+    for t in model.tasks:
+        loss = loss + _bce(logits[t], batch["labels"][t])
+    t0 = model.tasks[0]
+    return loss, logits[t0], batch["labels"][t0]
+
+
 def make_features(model: base.RecModel, batch: Dict) -> Dict[str, lkp.SparseFeature]:
     """Logical feature name -> SparseFeature, including shared-table extras."""
 
@@ -126,6 +143,9 @@ class Trainer:
         return new_tables, lks, gathered, handles
 
     def _make_acts(self, gathered, lks, handles, features, tables):
+        """2-D id features ([B, L]) yield sequence acts (emb [B,L,D], mask);
+        1-D features yield combined [B, D] activations."""
+
         acts = {}
         for fname, feat in features.items():
             lname = fname.split(":")[0]
@@ -134,7 +154,7 @@ class Trainer:
             inverse = jax.lax.dynamic_slice_in_dim(lks[pname].inverse, off, n)
             g = gathered[pname].astype(self.compute_dtype)
             empty = tables[pname].empty
-            if spec.sequence:
+            if feat.ids.ndim >= 2:
                 acts[fname] = lkp.sequence_embedding(g, inverse, feat, empty)
             else:
                 acts[fname] = lkp.combine(g, inverse, feat, empty, spec.combiner)
@@ -154,9 +174,10 @@ class Trainer:
             dense_in = dict(batch)
             dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
             logits = model.forward(params, dense_in, acts, True)
-            return _bce(logits, batch["label"]), logits
+            loss, plogits, plabels = model_loss(model, logits, batch)
+            return loss, (plogits, plabels)
 
-        (loss, logits), (gp, gg) = jax.value_and_grad(
+        (loss, (logits, plabels)), (gp, gg) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.params, gathered)
 
@@ -167,7 +188,7 @@ class Trainer:
                 tables[pname], lks[pname], g,
                 step=state.step, use_counts=self.use_counts,
             )
-        auc = M.auc_update(state.auc, logits, batch["label"])
+        auc = M.auc_update(state.auc, logits, plabels)
         new_state = state.replace(
             params=params, opt_state=opt_state, tables=tables,
             step=state.step + 1, auc=auc,
@@ -184,7 +205,8 @@ class Trainer:
         dense_in = dict(batch)
         dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
         logits = model.forward(state.params, dense_in, acts, False)
-        return logits, _bce(logits, batch["label"])
+        loss, plogits, plabels = model_loss(model, logits, batch)
+        return plogits, loss
 
     # -- host API -----------------------------------------------------------
 
@@ -242,8 +264,10 @@ class Trainer:
             if i >= steps:
                 break
             logits, loss = self.eval_step(state, batch)
+            lbl = (batch["labels"][self.model.tasks[0]]
+                   if self.model.tasks else batch["label"])
             all_logits.append(np.asarray(logits))
-            all_labels.append(np.asarray(batch["label"]))
+            all_labels.append(np.asarray(lbl))
             losses.append(float(loss))
         from deeprec_tpu.data.synthetic import auc_numpy
 
