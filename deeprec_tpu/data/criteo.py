@@ -1,0 +1,132 @@
+"""Criteo TSV/Parquet input pipeline.
+
+Readers for the Criteo Kaggle/Terabyte format the reference modelzoo trains
+on (modelzoo/dlrm/data/README.md): label + 13 integer + 26 hex-categorical
+columns.  TSV parsing runs through the native C++ parser
+(native/criteo_parser.cc) — the ParquetDataset role is covered by pyarrow
+batch reads (the reference's arrow-based parquet reader,
+core/kernels/data/parquet_dataset_ops.cc).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from deeprec_tpu.models import base
+
+
+def _to_batch(labels, dense, cats) -> Dict:
+    return {
+        "dense": dense,
+        "cat": {c: cats[:, i].copy()
+                for i, c in enumerate(base.CATEGORICAL_COLUMNS)},
+        "label": labels,
+    }
+
+
+@dataclasses.dataclass
+class CriteoTSV:
+    """Stream batches from Criteo-format TSV file(s) via the native parser."""
+
+    paths: Sequence[str]
+    batch_size: int = 2048
+    loop: bool = False
+    read_chunk: int = 8 << 20
+
+    def __iter__(self) -> Iterator[Dict]:
+        while True:
+            for path in self.paths:
+                yield from self._read_file(path)
+            if not self.loop:
+                return
+
+    def _read_file(self, path: str) -> Iterator[Dict]:
+        from deeprec_tpu.data import native
+
+        carry = b""
+        bufs: List = []
+        have = 0
+        with open(path, "rb") as f:
+            while True:
+                chunk = f.read(self.read_chunk)
+                if not chunk:
+                    break
+                data = carry + chunk
+                labels, dense, cats, consumed = native.criteo_parse(
+                    data, max_rows=1 << 22)
+                carry = data[consumed:]
+                if len(labels) == 0:
+                    continue
+                bufs.append((labels, dense, cats))
+                have += len(labels)
+                while have >= self.batch_size:
+                    yield self._emit(bufs, have)
+                    have -= self.batch_size
+        # final partial lines (no trailing newline): parse remainder + \n
+        if carry.strip():
+            labels, dense, cats, _ = native.criteo_parse(carry + b"\n",
+                                                         max_rows=1 << 20)
+            if len(labels):
+                bufs.append((labels, dense, cats))
+                have += len(labels)
+        while have >= self.batch_size:
+            yield self._emit(bufs, have)
+            have -= self.batch_size
+
+    def _emit(self, bufs: List, have: int) -> Dict:
+        need = self.batch_size
+        out_l, out_d, out_c = [], [], []
+        while need > 0:
+            labels, dense, cats = bufs[0]
+            take = min(need, len(labels))
+            out_l.append(labels[:take])
+            out_d.append(dense[:take])
+            out_c.append(cats[:take])
+            if take == len(labels):
+                bufs.pop(0)
+            else:
+                bufs[0] = (labels[take:], dense[take:], cats[take:])
+            need -= take
+        return _to_batch(np.concatenate(out_l),
+                         np.concatenate(out_d),
+                         np.concatenate(out_c))
+
+
+@dataclasses.dataclass
+class CriteoParquet:
+    """Parquet batch reader (ParquetDataset capability) via pyarrow."""
+
+    paths: Sequence[str]
+    batch_size: int = 2048
+    loop: bool = False
+
+    def __iter__(self) -> Iterator[Dict]:
+        import pyarrow.parquet as pq
+
+        cols = ([base.LABEL_COLUMN] + base.CONTINUOUS_COLUMNS
+                + base.CATEGORICAL_COLUMNS)
+        while True:
+            for path in self.paths:
+                pf = pq.ParquetFile(path)
+                for rb in pf.iter_batches(batch_size=self.batch_size,
+                                          columns=cols):
+                    tbl = rb.to_pydict()
+                    n = len(tbl[base.LABEL_COLUMN])
+                    if n < self.batch_size:
+                        continue
+                    labels = np.asarray(tbl[base.LABEL_COLUMN], np.float32)
+                    dense = np.stack(
+                        [np.log1p(np.maximum(
+                            np.asarray(tbl[c], np.float32), 0.0))
+                         for c in base.CONTINUOUS_COLUMNS], axis=1)
+                    cats = np.stack(
+                        [np.asarray(tbl[c], np.int64).astype(np.int32)
+                         & 0x7FFFFFFF
+                         for c in base.CATEGORICAL_COLUMNS], axis=1)
+                    yield _to_batch(labels, dense, cats)
+            if not self.loop:
+                return

@@ -1,0 +1,70 @@
+"""Pipelined input staging — the Stage / SmartStage capability.
+
+The reference hides input latency by staging the IO-bound frontier of the
+graph into async-executed buffers (``tf.staged`` python/ops/prefetch.py:92,
+SmartStagePass core/graph/smart_stage_pass.cc:30).  Under JAX the equivalent
+split is host-side: a background thread pool runs the (numpy) data pipeline
+and eagerly ``device_put``s batches while the accelerator trains — by the
+time ``next()`` is called the batch is already in HBM and the dispatch of the
+next jitted step overlaps the current one.
+
+``Prefetcher`` = Stage (explicit, wraps any iterator).
+``smart_stage`` = SmartStage (automatic: wraps the iterator AND pins batches
+to device, capacity-controlled).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+
+
+class Prefetcher:
+    """Background-thread prefetch with bounded depth; optionally transfers
+    each batch to device ahead of use."""
+
+    def __init__(self, it, depth: int = 2, to_device: bool = True,
+                 sharding=None):
+        self._src = iter(it)
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._to_device = to_device
+        self._sharding = sharding
+        self._done = object()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self._src:
+                if self._to_device:
+                    if self._sharding is not None:
+                        shardings = jax.tree.map(lambda _: self._sharding, item)
+                        item = jax.device_put(item, shardings)
+                    else:
+                        item = jax.device_put(item)
+                self._q.put(item)
+        except BaseException as e:  # surfaced on next()
+            self._err = e
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def smart_stage(it, depth: int = 2, sharding=None) -> Prefetcher:
+    """Stage an input iterator: background parse + async host→device copy."""
+
+    return Prefetcher(it, depth=depth, to_device=True, sharding=sharding)
