@@ -39,10 +39,7 @@ def main():
     BASELINE = 141266.06
 
     model = dlrm.MODEL
-    tables = base.make_tables(
-        model,
-        option=cfg.EmbeddingVariableOption(initial_capacity=2 ** 22),
-    )
+    tables = base.make_tables(model, capacity=2 ** 22)
     trainer = Trainer(
         model=model,
         tables=tables,

@@ -21,10 +21,13 @@ _LIB = None
 _SRC_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 
 
-def _build(src: Path, out: Path) -> None:
+_SOURCES = ("criteo_parser.cc", "host_kv.cc")
+
+
+def _build(srcs, out: Path) -> None:
     out.parent.mkdir(parents=True, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", str(out), str(src)]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+           "-o", str(out)] + [str(s) for s in srcs]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -35,12 +38,13 @@ def lib() -> ctypes.CDLL:
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        src = _SRC_DIR / "criteo_parser.cc"
+        srcs = [_SRC_DIR / s for s in _SOURCES]
         cache = Path(os.environ.get(
             "DEEPREC_TPU_CACHE", os.path.expanduser("~/.cache/deeprec_tpu")))
         out = cache / "libdeeprec_native.so"
-        if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
-            _build(src, out)
+        if (not out.exists()
+                or out.stat().st_mtime < max(s.stat().st_mtime for s in srcs)):
+            _build(srcs, out)
         L = ctypes.CDLL(str(out))
         L.criteo_parse.restype = ctypes.c_int64
         L.criteo_parse.argtypes = [
@@ -56,8 +60,110 @@ def lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        L.hkv_create.restype = ctypes.c_void_p
+        L.hkv_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
+        L.hkv_destroy.argtypes = [ctypes.c_void_p]
+        L.hkv_enable_ssd.restype = ctypes.c_int32
+        L.hkv_enable_ssd.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                     ctypes.c_int64]
+        L.hkv_upsert.argtypes = [ctypes.c_void_p, ctypes.c_int64, i64p, u8p, u32p]
+        L.hkv_lookup.restype = ctypes.c_int64
+        L.hkv_lookup.argtypes = [ctypes.c_void_p, ctypes.c_int64, i64p, u8p,
+                                 u32p, u8p, ctypes.c_int32]
+        L.hkv_size.restype = ctypes.c_int64
+        L.hkv_size.argtypes = [ctypes.c_void_p]
+        L.hkv_dram_rows.restype = ctypes.c_int64
+        L.hkv_dram_rows.argtypes = [ctypes.c_void_p]
+        L.hkv_log_bytes.restype = ctypes.c_int64
+        L.hkv_log_bytes.argtypes = [ctypes.c_void_p]
+        L.hkv_export.restype = ctypes.c_int64
+        L.hkv_export.argtypes = [ctypes.c_void_p, ctypes.c_int64, i64p, u8p, u32p]
+        L.hkv_compact.restype = ctypes.c_int64
+        L.hkv_compact.argtypes = [ctypes.c_void_p]
         _LIB = L
         return L
+
+
+class HostKV:
+    """Pythonic handle over the native host KV (rows are flat float32)."""
+
+    def __init__(self, row_floats: int, capacity_hint: int = 1024):
+        self._L = lib()
+        self.row_floats = int(row_floats)
+        self.row_bytes = self.row_floats * 4
+        self._h = self._L.hkv_create(self.row_bytes, capacity_hint)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._L.hkv_destroy(self._h)
+        except Exception:
+            pass
+
+    def enable_ssd(self, path: str, max_dram_rows: int) -> None:
+        rc = self._L.hkv_enable_ssd(self._h, path.encode(), max_dram_rows)
+        if rc != 0:
+            raise OSError(f"cannot open ssd log at {path}")
+
+    def upsert(self, keys: np.ndarray, rows: np.ndarray,
+               freqs: np.ndarray | None = None) -> None:
+        keys = np.ascontiguousarray(keys, np.int64)
+        rows = np.ascontiguousarray(rows, np.float32)
+        assert rows.shape == (len(keys), self.row_floats)
+        fp = (np.ascontiguousarray(freqs, np.uint32).ctypes
+              .data_as(ctypes.POINTER(ctypes.c_uint32))
+              if freqs is not None else None)
+        self._L.hkv_upsert(
+            self._h, len(keys),
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), fp)
+
+    def lookup(self, keys: np.ndarray, erase: bool = False):
+        """-> (rows [N, row_floats] f32, freqs [N] u32, found [N] bool)."""
+
+        keys = np.ascontiguousarray(keys, np.int64)
+        n = len(keys)
+        rows = np.zeros((n, self.row_floats), np.float32)
+        freqs = np.zeros((n,), np.uint32)
+        found = np.zeros((n,), np.uint8)
+        self._L.hkv_lookup(
+            self._h, n,
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            found.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            1 if erase else 0)
+        return rows, freqs, found.astype(bool)
+
+    def export(self, max_n: int | None = None):
+        n = max_n if max_n is not None else self.size
+        keys = np.zeros((n,), np.int64)
+        rows = np.zeros((n, self.row_floats), np.float32)
+        freqs = np.zeros((n,), np.uint32)
+        m = self._L.hkv_export(
+            self._h, n,
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return keys[:m], rows[:m], freqs[:m]
+
+    def compact(self) -> int:
+        return self._L.hkv_compact(self._h)
+
+    @property
+    def size(self) -> int:
+        return self._L.hkv_size(self._h)
+
+    @property
+    def dram_rows(self) -> int:
+        return self._L.hkv_dram_rows(self._h)
+
+    @property
+    def log_bytes(self) -> int:
+        return self._L.hkv_log_bytes(self._h)
 
 
 def criteo_parse(buf: bytes, max_rows: int, nthreads: int = 0):

@@ -1,0 +1,181 @@
+"""Multi-tier embedding storage: HBM-hot device table + host DRAM/SSD cold.
+
+TPU-native re-design of the reference's MultiTierStorage
+(multi_tier_storage.h:47, hbm_dram_storage.h:37, dram_ssd_storage.h) with the
+same invariants:
+
+  * **updates always land in tier-0** (the device table) so training math is
+    unchanged (docs_zh/Multi-tier-Embedding-Storage.md §1);
+  * cold rows live in the native host KV (native/host_kv.cc — DRAM arena with
+    optional SSD append-log, CLOCK eviction, compaction);
+  * **promotion is prefetch-driven**: the ids of the *next* batch are known on
+    the host before the step runs (the AddToCachePrefetchList pattern,
+    embedding_var.h:259), so cold hits are fetched and bulk-upserted into the
+    device table off the critical path — no host round-trip inside the step;
+  * **demotion** replaces growth when the hot tier is at its HBM budget: the
+    lowest-frequency live rows are flushed down (EvictionManager role,
+    eviction_manager.h:39) and the device table is rebuilt tombstone-free.
+
+Row layout in the cold store: [values | slot_0 | ... | slot_k | version] as
+flat f32 (version bitcast), freq carried natively by the KV.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeprec_tpu.data.native import HostKV
+from deeprec_tpu.embedding import table as ev
+
+# Promotion payloads are padded to multiples of this to bound recompiles.
+PROMOTE_PAD = 2048
+
+
+class TieredTable:
+    """Host-side coordinator for one physical table's cold tier."""
+
+    def __init__(self, table: ev.EmbeddingTable, *,
+                 ssd_path: Optional[str] = None,
+                 max_dram_rows: int = -1,
+                 hot_watermark: float = 0.85,
+                 evict_fraction: float = 0.3):
+        self.dim = table.dim
+        self.slot_names = tuple(sorted(table.slots))
+        self.slot_widths = tuple(int(table.slots[s].shape[-1])
+                                 for s in self.slot_names)
+        self.row_floats = (self.dim + sum(self.slot_widths) + 1)
+        self.cold = HostKV(self.row_floats, capacity_hint=table.capacity)
+        if ssd_path is not None:
+            self.cold.enable_ssd(ssd_path, max_dram_rows
+                                 if max_dram_rows >= 0 else table.capacity)
+        self.hot_watermark = hot_watermark
+        self.evict_fraction = evict_fraction
+
+    # -- promotion (prefetch thread) ---------------------------------------
+
+    def prepare(self, flat_ids: np.ndarray, empty: int,
+                erase: bool = True) -> Optional[Dict]:
+        """Find the batch's cold-resident ids and build a promotion payload
+        (device upsert happens at step time).
+
+        erase=True (training): move semantics — the hot copy becomes
+        authoritative (updates always land in tier-0).  erase=False (eval /
+        serving read-through): the cold store keeps the row; the promoted
+        copy is transient."""
+
+        uids = np.unique(flat_ids)
+        uids = uids[uids != empty]
+        if len(uids) == 0 or self.cold.size == 0:
+            return None
+        rows, freqs, found = self.cold.lookup(uids.astype(np.int64),
+                                              erase=erase)
+        n = int(found.sum())
+        if n == 0:
+            return None
+        keys = uids[found]
+        rows = rows[found]
+        freqs = freqs[found]
+        pad = -len(keys) % PROMOTE_PAD
+        if pad:
+            keys = np.concatenate([keys, np.full(pad, empty, keys.dtype)])
+            rows = np.concatenate([rows, np.zeros((pad, self.row_floats),
+                                                  np.float32)])
+            freqs = np.concatenate([freqs, np.zeros(pad, np.uint32)])
+        return {"keys": keys, "rows": rows, "freqs": freqs.astype(np.int32)}
+
+    # -- device ops ---------------------------------------------------------
+
+    def promote(self, table: ev.EmbeddingTable, payload: Dict) -> ev.EmbeddingTable:
+        return _promote_jit(table, jnp.asarray(payload["keys"], table.key_dtype),
+                            jnp.asarray(payload["rows"]),
+                            jnp.asarray(payload["freqs"]),
+                            slot_names=self.slot_names,
+                            slot_widths=self.slot_widths, dim=self.dim)
+
+    def needs_demote(self, table: ev.EmbeddingTable) -> bool:
+        return (ev.load_factor(table) > self.hot_watermark
+                or int(jax.device_get(table.growth_hint)) > 0)
+
+    def demote(self, table: ev.EmbeddingTable) -> ev.EmbeddingTable:
+        """Flush the coldest rows down-tier; rebuild the hot table."""
+
+        k = max(1, int(table.capacity * self.evict_fraction))
+        keys, rows, freqs, mask = _demote_select(
+            table, k, slot_names=self.slot_names,
+            slot_widths=self.slot_widths, dim=self.dim)
+        keys_h = np.asarray(jax.device_get(keys))
+        rows_h = np.asarray(jax.device_get(rows))
+        freqs_h = np.asarray(jax.device_get(freqs))
+        valid = keys_h != table.empty
+        if valid.any():
+            self.cold.upsert(keys_h[valid].astype(np.int64), rows_h[valid],
+                             freqs_h[valid].astype(np.uint32))
+        table = ev._apply_evict(table, mask)
+        return ev._rebuild(table, table.capacity)
+
+    # -- checkpoint hooks ---------------------------------------------------
+
+    def export_cold(self):
+        return self.cold.export()
+
+    def compact(self) -> int:
+        return self.cold.compact()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("slot_names", "slot_widths", "dim"))
+def _promote_jit(table, keys, rows, freqs, *, slot_names, slot_widths, dim):
+    valid = keys != table.empty
+    new_keys, slots, inserted, _ = ev._find_or_insert(table.keys, keys,
+                                                      valid, valid)
+    # only rows NOT already hot are written (device copy is authoritative)
+    write = inserted
+    dst = jnp.where(write, slots, jnp.int32(table.capacity))
+    off = 0
+    values = table.values.at[dst].set(
+        rows[:, off:off + dim].astype(table.value_dtype), mode="drop")
+    off += dim
+    slots_d = dict(table.slots)
+    for name, w in zip(slot_names, slot_widths):
+        slots_d[name] = table.slots[name].at[dst].set(
+            rows[:, off:off + w].astype(table.value_dtype), mode="drop")
+        off += w
+    versions = table.versions
+    if versions is not None:
+        ver = jax.lax.bitcast_convert_type(rows[:, off], jnp.int32)
+        versions = versions.at[dst].set(ver, mode="drop")
+    fr = table.freqs
+    if fr is not None:
+        fr = fr.at[dst].set(freqs, mode="drop")
+    return table.replace(
+        keys=new_keys, values=values, slots=slots_d, versions=versions,
+        freqs=fr, size=table.size + jnp.sum(inserted).astype(jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "slot_names", "slot_widths", "dim"))
+def _demote_select(table, k, *, slot_names, slot_widths, dim):
+    """Pick the k lowest-frequency live slots; pack their rows."""
+
+    live = table.keys != table.empty
+    freq = jnp.where(live, table.freqs, jnp.iinfo(jnp.int32).max)
+    _, idx = jax.lax.top_k(-freq, k)          # k coldest
+    sel_live = live[idx]
+    keys = jnp.where(sel_live, table.keys[idx],
+                     jnp.asarray(table.empty, table.key_dtype))
+    parts = [table.values[idx].astype(jnp.float32)]
+    for name in slot_names:
+        parts.append(table.slots[name][idx].astype(jnp.float32))
+    ver = (table.versions[idx] if table.versions is not None
+           else jnp.zeros((k,), jnp.int32))
+    parts.append(jax.lax.bitcast_convert_type(ver, jnp.float32)[:, None])
+    rows = jnp.concatenate(parts, axis=1)
+    freqs = table.freqs[idx]
+    mask = jnp.zeros((table.capacity,), jnp.bool_).at[
+        jnp.where(sel_live, idx, table.capacity)].set(True, mode="drop")
+    return keys, rows, freqs, mask

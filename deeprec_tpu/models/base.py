@@ -61,8 +61,15 @@ def make_tables(
     option: Optional[cfg.EmbeddingVariableOption] = None,
     key_dtype=jnp.int32,
     value_dtype=jnp.float32,
+    capacity: Optional[int] = None,
 ) -> Dict[str, ev.EmbeddingTable]:
-    """Create the physical tables for a model (grouped per the group plan)."""
+    """Create the physical tables for a model (grouped per the group plan).
+
+    ``capacity`` overrides every physical table's initial capacity (power of
+    two); otherwise the group plan's capacity (sum of member specs) is used.
+    ``option.initial_capacity`` is NOT consulted — capacity is a per-physical
+    -table property, set explicitly here or via the TableSpecs.
+    """
 
     from deeprec_tpu.embedding import group as grp
 
@@ -76,7 +83,8 @@ def make_tables(
                 f"id_bits={pspec.id_bits} overflows {key_dtype}"
             )
         opt = option or cfg.EmbeddingVariableOption()
-        opt = dataclasses.replace(opt, initial_capacity=pspec.initial_capacity)
+        cap = capacity or pspec.initial_capacity
+        opt = dataclasses.replace(opt, initial_capacity=cap)
         tables[name] = ev.create(name, pspec.dim, key_dtype=key_dtype,
                                  value_dtype=value_dtype, option=opt)
     return tables

@@ -74,6 +74,32 @@ def make_features(model: base.RecModel, batch: Dict) -> Dict[str, lkp.SparseFeat
     return feats
 
 
+def host_group_keys(model: base.RecModel, plan, batch: Dict,
+                    empty: int) -> Dict[str, "np.ndarray"]:
+    """Host-side (numpy) replica of the grouped key composition — used by the
+    tiered-storage prefetch to know the step's physical keys in advance."""
+
+    import numpy as np
+
+    out = {}
+    for pname, pspec in plan.physical.items():
+        parts = []
+        grouped = len(pspec.members) > 1
+        for lname, fidx in pspec.members:
+            spec = model.table_specs[lname]
+            cols = [spec.feature or lname] + list(spec.shared_features)
+            for col in cols:
+                ids = np.asarray(batch["cat"][col]).reshape(-1)
+                if grouped:
+                    mask = (1 << pspec.id_bits) - 1
+                    composed = ((ids & mask)
+                                | np.asarray(fidx << pspec.id_bits, ids.dtype))
+                    ids = np.where(ids == empty, ids, composed)
+                parts.append(ids)
+        out[pname] = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    return out
+
+
 @dataclasses.dataclass
 class Trainer:
     """Builds and runs jitted train/eval steps for one RecModel."""
@@ -84,6 +110,10 @@ class Trainer:
     dense_tx: optax.GradientTransformation
     bf16: bool = False
     use_counts: bool = False
+    # Multi-tier storage: {physical table name: TieredTable}.  When set, the
+    # host loop promotes cold rows before each step and demotes instead of
+    # growing at the HBM budget (embedding/tiered.py).
+    tiers: Any = None
 
     def __post_init__(self):
         self.compute_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
@@ -211,9 +241,30 @@ class Trainer:
     # -- host API -----------------------------------------------------------
 
     def train_step(self, state: TrainState, batch: Dict):
+        if self.tiers:
+            state = self._promote_for_batch(state, batch)
         return self._train_step(state, batch)
 
+    def _promote_for_batch(self, state: TrainState, batch: Dict,
+                           erase: bool = True) -> TrainState:
+        """Move the batch's cold-resident rows up to the device table (the
+        prefetch-promotion path; also callable from a staging thread)."""
+
+        gk = host_group_keys(self.model, self.plan, batch,
+                             next(iter(state.tables.values())).empty)
+        tables = dict(state.tables)
+        changed = False
+        for pname, tier in self.tiers.items():
+            payload = tier.prepare(gk[pname], tables[pname].empty, erase=erase)
+            if payload is not None:
+                tables[pname] = tier.promote(tables[pname], payload)
+                changed = True
+        return state.replace(tables=tables) if changed else state
+
     def eval_step(self, state: TrainState, batch: Dict):
+        if self.tiers:
+            # read-through: transient copy-promotion, cold store unchanged
+            state = self._promote_for_batch(state, batch, erase=False)
         return self._eval_step(state, batch)
 
     def maybe_grow(self, state: TrainState) -> TrainState:
@@ -223,7 +274,12 @@ class Trainer:
         tables = dict(state.tables)
         changed = False
         for n, t in tables.items():
-            if ev.needs_grow(t):
+            if self.tiers and n in self.tiers:
+                # HBM budget is fixed: demote cold rows instead of growing
+                if self.tiers[n].needs_demote(t):
+                    tables[n] = self.tiers[n].demote(t)
+                    changed = True
+            elif ev.needs_grow(t):
                 tables[n] = ev.maybe_grow(t)
                 changed = True
         return state.replace(tables=tables) if changed else state

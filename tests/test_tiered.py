@@ -1,0 +1,143 @@
+"""Multi-tier storage tests: HBM-hot / host-cold with promote/demote cycling.
+
+Mirrors the reference's multi-tier EV coverage (multi_tier_storage tests):
+values must be bit-identical through demote→promote round trips, and training
+under a tight HBM budget must match unbounded-capacity training.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from deeprec_tpu import config as cfg
+from deeprec_tpu.data.native import HostKV
+from deeprec_tpu.data.synthetic import SyntheticCriteo
+from deeprec_tpu.embedding import table as ev
+from deeprec_tpu.embedding.tiered import TieredTable
+from deeprec_tpu.models import base
+from deeprec_tpu.optimizers import sparse
+from deeprec_tpu.train.loop import Trainer
+from tests.test_train_e2e import tiny_model
+
+
+def test_host_kv_roundtrip():
+    kv = HostKV(row_floats=8, capacity_hint=64)
+    keys = np.arange(500, dtype=np.int64)
+    rows = np.random.RandomState(0).randn(500, 8).astype(np.float32)
+    kv.upsert(keys, rows)
+    got, _, found = kv.lookup(keys)
+    assert found.all()
+    np.testing.assert_array_equal(got, rows)
+
+
+def test_host_kv_ssd_spill_and_compact(tmp_path):
+    kv = HostKV(row_floats=4, capacity_hint=64)
+    kv.enable_ssd(str(tmp_path / "log.bin"), max_dram_rows=50)
+    keys = np.arange(1000, dtype=np.int64)
+    rows = np.tile(np.arange(1000, dtype=np.float32)[:, None], (1, 4))
+    kv.upsert(keys, rows)
+    assert kv.dram_rows <= 50
+    assert kv.log_bytes > 0
+    got, _, found = kv.lookup(keys)
+    assert found.all()
+    np.testing.assert_array_equal(got, rows)
+    # overwrite half -> dead log entries -> compaction reclaims
+    kv.upsert(keys[:500], rows[:500])
+    reclaimed = kv.compact()
+    assert reclaimed >= 0
+    got, _, found = kv.lookup(keys[700:900])
+    assert found.all()
+    np.testing.assert_array_equal(got, rows[700:900])
+
+
+def test_demote_promote_roundtrip():
+    t = ev.create("t", dim=4, capacity=256,
+                  option=cfg.EmbeddingVariableOption())
+    o = sparse.adagrad(lr=0.1)
+    t = o.init(t)
+    ids = jnp.arange(100, dtype=jnp.int32)
+    t, lk = ev.lookup_phase(t, ids, step=1)
+    t = o.apply(t, lk, jnp.ones((lk.uids.shape[0], 4)), step=1)
+    before_vals = np.asarray(ev.lookup(t, ids))
+    before_acc = np.asarray(t.slots["accumulator"]).copy()
+
+    tier = TieredTable(t, evict_fraction=0.5)
+    t2 = tier.demote(t)
+    n_cold = tier.cold.size
+    assert n_cold > 0
+    assert int(t2.size) == 100 - n_cold
+
+    # promote everything back via prepare (as the prefetch would)
+    payload = tier.prepare(np.asarray(ids), t2.empty)
+    assert payload is not None
+    t3 = tier.promote(t2, payload)
+    assert int(t3.size) == 100
+    assert tier.cold.size == 0
+    after_vals = np.asarray(ev.lookup(t3, ids))
+    np.testing.assert_array_equal(after_vals, before_vals)
+    # optimizer slots and versions survive the round trip
+    f = np.asarray(ev.get_version(t3, ids))
+    np.testing.assert_array_equal(f, np.full(100, 1))
+
+
+def test_training_with_tight_hbm_budget_matches_unbounded():
+    """Tiered training (tiny hot tier + demote/promote churn) must produce
+    the same final predictions as unbounded-capacity training."""
+
+    model = tiny_model(n_cols=2, emb_dim=4)
+    gen = SyntheticCriteo(batch_size=128, num_ids_per_col=600, seed=3)
+    batches = [next(iter(SyntheticCriteo(batch_size=128, num_ids_per_col=600,
+                                         seed=3, steps=1)))]
+    gen_it = iter(gen)
+    batches = [next(gen_it) for _ in range(12)]
+
+    def run(tiered: bool):
+        tables = base.make_tables(model)
+        tiers = None
+        if tiered:
+            # hot tier holds only 1024 rows; ~1200 keys stream through.
+            # (headroom per step must cover the batch's unique ids, else
+            # mid-step inserts overflow — same invariant as the reference's
+            # cache capacity vs batch size)
+            tables = {n: ev.create(n, t.dim, option=t.option, capacity=1024)
+                      for n, t in tables.items()}
+            tiers = {}
+        tr = Trainer(model=model, tables=tables,
+                     sparse_optimizer=sparse.adagrad(lr=0.05),
+                     dense_tx=optax.adagrad(0.05), tiers=tiers)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        if tiered:
+            for n, t in state.tables.items():
+                tiers[n] = TieredTable(t, evict_fraction=0.5,
+                                       hot_watermark=0.7)
+        for i, b in enumerate(batches):
+            state, m = tr.train_step(state, b)
+            state = tr.maybe_grow(state)
+        logits, _ = tr.eval_step(state, batches[0])
+        return np.asarray(logits), state
+
+    want, ws = run(False)
+    got, gs = run(True)
+    # tiered hot tables stayed within budget
+    for n, t in gs.tables.items():
+        assert t.capacity == 1024
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_tiered_eval_cold_rows_read_default():
+    """Eval on ids that are cold (demoted) without promotion reads the
+    no-permission default — and promotion restores them."""
+
+    t = ev.create("t", dim=4, capacity=64)
+    t, lk = ev.lookup_phase(t, jnp.arange(20, dtype=jnp.int32), step=0)
+    tier = TieredTable(t, evict_fraction=0.9)
+    t2 = tier.demote(t)
+    cold_ids = np.setdiff1d(np.arange(20),
+                            np.asarray(ev.export_live(t2)[0]))
+    assert len(cold_ids) > 0
+    got = np.asarray(ev.lookup(t2, jnp.asarray(cold_ids, jnp.int32)))
+    np.testing.assert_array_equal(got, 0.0)
