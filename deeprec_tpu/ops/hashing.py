@@ -51,6 +51,19 @@ def hash_to_u32(keys: jnp.ndarray, salt: int = 0) -> jnp.ndarray:
     return h
 
 
+# Logical checkpoint partitions (kSavedPartitionNum, kv_interface.h:26).
+# Runtime shard routing MUST be a function of this partition so that
+# reshard-on-restore (partition p -> shard p % S) agrees with lookup routing.
+SAVED_PARTITIONS = 1000
+PARTITION_SALT = 31
+
+
+def logical_partition(keys: jnp.ndarray) -> jnp.ndarray:
+    """Key -> logical checkpoint partition in [0, 1000)."""
+
+    return bucket(keys, SAVED_PARTITIONS, salt=PARTITION_SALT)
+
+
 def bucket(keys: jnp.ndarray, num_buckets: int, salt: int = 0) -> jnp.ndarray:
     """Map keys to [0, num_buckets). num_buckets need not be a power of two."""
 

@@ -36,10 +36,15 @@ SHARD_SALT = 0x5EED
 
 
 def shard_of(keys: jnp.ndarray, num_shards: int) -> jnp.ndarray:
-    """Owner shard of each key (mod-sharding on key hash — the reference's
-    fixed_size_partitioner semantics, docs_en/Embedding-Variable.md:78)."""
+    """Owner shard of each key: logical-partition mod num_shards.
 
-    return hashing.bucket(keys, num_shards, salt=SHARD_SALT)
+    Mod-sharding on the 1000-way logical partition (not the raw hash) keeps
+    runtime routing aligned with reshard-on-restore, which assigns saved
+    partition p to shard p % S (embedding_var_restore.cc:337-339) — a key
+    restored onto shard s is exactly the key the lookup routes to s.
+    """
+
+    return hashing.logical_partition(keys) % jnp.int32(num_shards)
 
 
 def bucket_capacity(n: int, num_shards: int) -> int:

@@ -1,0 +1,143 @@
+"""Training hooks: checkpoint cadence (full + incremental), logging, profiling.
+
+The MonitoredTrainingSession hook surface (monitored_session.py:495-658)
+rebuilt for the functional loop: hooks observe (state, metrics) after every
+step and may return a replacement state (e.g. the incremental saver clears
+the touched-recorder).
+
+``CheckpointSaverHook(incremental_save_secs=...)`` reproduces
+``tf.train.MonitoredTrainingSession(save_incremental_checkpoint_secs=...)``:
+full checkpoints on one cadence, cheap touched-row delta dumps on a faster
+one — the serving Processor consumes both for sub-minute online updates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+from deeprec_tpu.train import metrics as M
+from deeprec_tpu.train import saver
+
+
+class Hook:
+    def after_step(self, state, metrics, step: int):
+        return state
+
+    def end(self, state):
+        return state
+
+
+class LoggingHook(Hook):
+    """tf.train.LoggingTensorHook role: loss/AUC/throughput cadence."""
+
+    def __init__(self, every_steps: int = 100, log_fn: Callable = print,
+                 batch_size: Optional[int] = None):
+        self.every = every_steps
+        self.log_fn = log_fn
+        self.batch_size = batch_size
+        self._t0 = time.time()
+        self._last_step = 0
+
+    def after_step(self, state, metrics, step):
+        if self.every and (step + 1) % self.every == 0:
+            dt = time.time() - self._t0
+            rate = ""
+            if self.batch_size:
+                ex = (step + 1 - self._last_step) * self.batch_size
+                rate = f" ex/s={ex/dt:,.0f}"
+                self._t0 = time.time()
+                self._last_step = step + 1
+            self.log_fn(
+                f"step {step+1}: loss={float(metrics['loss']):.4f} "
+                f"auc={M.auc_value(state.auc):.4f}{rate}")
+        return state
+
+
+class CheckpointSaverHook(Hook):
+    """Full + incremental checkpoint cadence (CheckpointSaverHook with
+    incremental_save_secs, incremental_saver.py:78)."""
+
+    def __init__(self, ckpt_dir: str, save_secs: Optional[float] = None,
+                 save_steps: Optional[int] = None,
+                 incremental_save_secs: Optional[float] = None,
+                 shrink_on_save: bool = False):
+        self.ckpt_dir = ckpt_dir
+        self.save_secs = save_secs
+        self.save_steps = save_steps
+        self.incr_secs = incremental_save_secs
+        self.shrink = shrink_on_save
+        now = time.time()
+        self._last_full = now
+        self._last_incr = now
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _save_incr(self, state, step):
+        d = os.path.join(self.ckpt_dir, f"incr_{step}")
+        os.makedirs(d, exist_ok=True)
+        tables = dict(state.tables)
+        meta = {"step": step, "tables": {}}
+        for name, t in tables.items():
+            if t.touched is None:
+                continue
+            fname = f"delta_{name}.npz"
+            tables[name] = saver.save_table_delta(os.path.join(d, fname), t)
+            meta["tables"][name] = fname
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        # publish marker last (atomic-ish visibility for the serving poller)
+        with open(os.path.join(d, "DONE"), "w") as f:
+            f.write(str(step))
+        return state.replace(tables=tables)
+
+    def after_step(self, state, metrics, step):
+        now = time.time()
+        full_due = (
+            (self.save_steps and (step + 1) % self.save_steps == 0)
+            or (self.save_secs and now - self._last_full >= self.save_secs))
+        if full_due:
+            saver.save_checkpoint(self.ckpt_dir, state, step=step + 1,
+                                  shrink=self.shrink)
+            self._last_full = now
+            self._last_incr = now
+            return state
+        if self.incr_secs and now - self._last_incr >= self.incr_secs:
+            state = self._save_incr(state, step + 1)
+            self._last_incr = now
+        return state
+
+    def end(self, state):
+        saver.save_checkpoint(self.ckpt_dir, state)
+        return state
+
+
+class ProfilerHook(Hook):
+    """jax.profiler trace for steps [start, stop) (tf.train.ProfilerHook)."""
+
+    def __init__(self, log_dir: str, start_step: int = 10, num_steps: int = 5):
+        self.log_dir = log_dir
+        self.start = start_step
+        self.stop = start_step + num_steps
+        self._active = False
+
+    def after_step(self, state, metrics, step):
+        import jax
+
+        if step + 1 == self.start and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif step + 1 == self.stop and self._active:
+            jax.block_until_ready(state.step)
+            jax.profiler.stop_trace()
+            self._active = False
+        return state
+
+    def end(self, state):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+        return state

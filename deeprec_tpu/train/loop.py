@@ -114,6 +114,12 @@ class Trainer:
     # host loop promotes cold rows before each step and demotes instead of
     # growing at the HBM budget (embedding/tiered.py).
     tiers: Any = None
+    # MicroBatch (graph_execution_state.cc:635-727, micro_batch_num
+    # config.proto:324): the step body is duplicated over N micro-slices of
+    # the batch; dense gradients are accumulated and applied once, halving
+    # peak activation memory per doubling.  Sparse applies run per
+    # micro-batch (async-PS-equivalent semantics).
+    micro_batch_num: int = 1
 
     def __post_init__(self):
         self.compute_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
@@ -193,6 +199,8 @@ class Trainer:
     # -- jitted bodies ------------------------------------------------------
 
     def _train_step_impl(self, state: TrainState, batch: Dict):
+        if self.micro_batch_num > 1:
+            return self._micro_batch_step(state, batch)
         model = self.model
         features = make_features(model, batch)
         tables, lks, gathered, handles = self._grouped_lookup(
@@ -224,6 +232,50 @@ class Trainer:
             step=state.step + 1, auc=auc,
         )
         return new_state, {"loss": loss}
+
+    def _micro_batch_step(self, state: TrainState, batch: Dict):
+        m = self.micro_batch_num
+        model = self.model
+        n = batch["dense"].shape[0]
+        assert n % m == 0, f"batch {n} not divisible by micro_batch_num {m}"
+        sz = n // m
+        tables = state.tables
+        dense_acc = jax.tree.map(jnp.zeros_like, state.params)
+        loss_acc = jnp.zeros((), jnp.float32)
+        auc = state.auc
+        for i in range(m):
+            mb = jax.tree.map(lambda x: x[i * sz:(i + 1) * sz], batch)
+            features = make_features(model, mb)
+            tables, lks, gathered, handles = self._grouped_lookup(
+                tables, features, state.step, True)
+
+            def loss_fn(params, gathered, mb=mb, lks=lks, handles=handles,
+                        features=features, tables=tables):
+                acts = self._make_acts(gathered, lks, handles, features, tables)
+                dense_in = dict(mb)
+                dense_in["dense"] = mb["dense"].astype(self.compute_dtype)
+                logits = model.forward(params, dense_in, acts, True)
+                loss, plogits, plabels = model_loss(model, logits, mb)
+                return loss, (plogits, plabels)
+
+            (loss, (logits, plabels)), (gp, gg) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(state.params, gathered)
+            dense_acc = jax.tree.map(jnp.add, dense_acc, gp)
+            loss_acc = loss_acc + loss
+            for pname, g in gg.items():
+                tables = dict(tables)
+                tables[pname] = self.sparse_optimizer.apply(
+                    tables[pname], lks[pname], g,
+                    step=state.step, use_counts=self.use_counts)
+            auc = M.auc_update(auc, logits, plabels)
+        gp = jax.tree.map(lambda x: x / m, dense_acc)
+        updates, opt_state = self.dense_tx.update(gp, state.opt_state,
+                                                  state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, tables=tables,
+            step=state.step + 1, auc=auc)
+        return new_state, {"loss": loss_acc / m}
 
     def _eval_step_impl(self, state: TrainState, batch: Dict):
         model = self.model
@@ -293,6 +345,7 @@ class Trainer:
         grow_every: int = 50,
         log_every: int = 100,
         log_fn: Callable = print,
+        hooks=(),
     ) -> TrainState:
         t0 = time.time()
         seen = 0
@@ -303,6 +356,8 @@ class Trainer:
             seen += len(batch["label"])
             if grow_every and (i + 1) % grow_every == 0:
                 state = self.maybe_grow(state)
+            for h in hooks:
+                state = h.after_step(state, m, i)
             if log_every and (i + 1) % log_every == 0:
                 dt = time.time() - t0
                 log_fn(
@@ -310,6 +365,8 @@ class Trainer:
                     f"auc={M.auc_value(state.auc):.4f} "
                     f"ex/s={seen/dt:,.0f}"
                 )
+        for h in hooks:
+            state = h.end(state)
         return state
 
     def evaluate(self, state: TrainState, data_iter, steps: int) -> Dict[str, float]:

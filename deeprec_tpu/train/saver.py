@@ -66,9 +66,9 @@ def _unflatten_params(template, flat: Dict[str, np.ndarray]):
 
 
 def _partition_of(keys: np.ndarray) -> np.ndarray:
-    h = np.asarray(jax.device_get(
-        hashing.hash_to_u32(jnp.asarray(keys), salt=31)))
-    return (h % SAVED_PARTITIONS).astype(np.int32)
+    # Must match parallel.sharded.shard_of (runtime routing is partition % S).
+    return np.asarray(jax.device_get(
+        hashing.logical_partition(jnp.asarray(keys)))).astype(np.int32)
 
 
 def _export_table_host(table: ev.EmbeddingTable, *, shrink_step=None) -> Dict:
@@ -333,8 +333,25 @@ def restore_checkpoint(ckpt_path: str, state_template, *,
             cap = max(sh_.capacity for sh_ in shards)
             shards = [ev.grow(sh_, cap) if sh_.capacity < cap else sh_
                       for sh_ in shards]
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
-            tables[name] = stacked
+
+            def stk(get, default=None):
+                vals = [get(sh_) for sh_ in shards]
+                if vals[0] is None:
+                    return None
+                return jnp.stack(vals)
+
+            first = shards[0]
+            tables[name] = first.replace(
+                keys=stk(lambda x: x.keys),
+                values=stk(lambda x: x.values),
+                slots={k: stk(lambda x, k=k: x.slots[k]) for k in first.slots},
+                freqs=stk(lambda x: x.freqs),
+                versions=stk(lambda x: x.versions),
+                touched=stk(lambda x: x.touched),
+                cbf=stk(lambda x: x.cbf),
+                size=stk(lambda x: x.size),
+                growth_hint=stk(lambda x: x.growth_hint),
+            )  # default_rows stays replicated (one copy)
     return state_template.replace(
         params=restored_dense["params"],
         opt_state=restored_dense["opt_state"],

@@ -1,0 +1,137 @@
+"""Tests: dense DeepRec optimizers, MicroBatch, TailStream ODL, elastic
+re-scale."""
+
+import os
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh
+
+from deeprec_tpu.data.kafka import TailStream
+from deeprec_tpu.data.synthetic import SyntheticCriteo
+from deeprec_tpu.models import base
+from deeprec_tpu.optimizers import dense as dense_opt
+from deeprec_tpu.optimizers import sparse
+from deeprec_tpu.parallel.elastic import ElasticController
+from deeprec_tpu.parallel.trainer import DistributedTrainer
+from deeprec_tpu.train.loop import Trainer
+from tests.test_train_e2e import tiny_model
+
+
+def test_dense_adagrad_decay_matches_manual():
+    tx = dense_opt.adagrad_decay(learning_rate=0.1,
+                                 initial_accumulator_value=0.1,
+                                 accumulator_decay_step=2,
+                                 accumulator_decay_rate=0.5)
+    p = {"w": jnp.ones((3,))}
+    s = tx.init(p)
+    g = {"w": jnp.full((3,), 2.0)}
+    acc = np.full(3, 0.1)
+    w = np.ones(3)
+    for step in range(1, 5):
+        upd, s = tx.update(g, s, p)
+        p = optax.apply_updates(p, upd)
+        if step % 2 == 0:
+            acc = np.maximum(acc * 0.5, 1e-7)
+        acc = acc + 4.0
+        w = w - 0.1 * 2.0 / np.sqrt(acc + 1e-10)
+    np.testing.assert_allclose(np.asarray(p["w"]), w, rtol=1e-5)
+
+
+def test_dense_adam_async_runs():
+    tx = dense_opt.adam_async(learning_rate=0.01)
+    p = {"w": jnp.ones((4,))}
+    s = tx.init(p)
+    for _ in range(3):
+        upd, s = tx.update({"w": jnp.ones((4,))}, s, p)
+        p = optax.apply_updates(p, upd)
+    assert np.all(np.asarray(p["w"]) < 1.0)
+    assert abs(float(s.beta1_power) - 0.9 ** 3) < 1e-6
+
+
+def test_micro_batch_matches_full_batch_dense():
+    """micro_batch_num=2 must match full-batch on the dense update when the
+    sparse side is frozen (grad accumulation semantics)."""
+
+    model = tiny_model(n_cols=2)
+    gen = SyntheticCriteo(batch_size=128, num_ids_per_col=300, seed=1)
+    batch = next(iter(gen))
+
+    def run(m):
+        tables = base.make_tables(model)
+        tr = Trainer(model=model, tables=tables,
+                     sparse_optimizer=sparse.sgd(0.0),
+                     dense_tx=optax.sgd(0.1), micro_batch_num=m)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, mtr = tr.train_step(state, batch)
+        return state
+
+    s1 = run(1)
+    s2 = run(2)
+    w1 = jax.tree.leaves(s1.params)
+    w2 = jax.tree.leaves(s2.params)
+    for a, b in zip(w1, w2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_tail_stream_odl(tmp_path):
+    """Producer appends rows while the consumer trains — online learning."""
+
+    from tests.test_data import _write_tsv
+
+    p = str(tmp_path / "stream.tsv")
+    _write_tsv(p, 300, seed=1)
+
+    def producer():
+        time.sleep(0.3)
+        with open(p, "a") as f:
+            for i in range(300):
+                f.write("1\t" + "\t".join(["1"] * 13) + "\t"
+                        + "\t".join(["ab"] * 26) + "\n")
+
+    t = threading.Thread(target=producer)
+    t.start()
+    got = 0
+    for b in TailStream(p, batch_size=128, stop_after_idle_secs=1.0):
+        got += len(b["label"])
+    t.join()
+    assert got >= 512  # 600 rows -> 4 full batches
+
+
+def test_elastic_rescale_8_to_4():
+    model = tiny_model(n_cols=2)
+
+    def make_trainer(mesh):
+        return DistributedTrainer(
+            model=model, mesh=mesh,
+            sparse_optimizer=sparse.adagrad(lr=0.05),
+            dense_tx=optax.adagrad(0.05), per_shard_capacity=2 ** 10)
+
+    mesh8 = Mesh(np.asarray(jax.devices()), ("data",))
+    tr = make_trainer(mesh8)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=500, seed=3)
+    it = iter(gen)
+    for _ in range(4):
+        state, _ = tr.train_step(state, next(it))
+
+    ctl = ElasticController(make_trainer=make_trainer)
+    assert ctl.is_ready_scaling(tr, state)
+    ctl.ready_to_update(4)
+    tr2, state2 = ctl.update(tr, state)
+    assert tr2.num_shards == 4
+    # predictions preserved across the re-scale
+    b = next(it)
+    l1, _ = tr.eval_step(state, b)
+    l2, _ = tr2.eval_step(state2, b)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=1e-4, atol=1e-5)
+    # continues training on the smaller mesh
+    state2, loss = tr2.train_step(state2, next(it))
+    assert np.isfinite(float(loss))

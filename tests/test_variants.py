@@ -1,0 +1,88 @@
+"""Variant-embedding tests (multihash / dynamic-dim / adaptive / hash table),
+mirroring embedding_variable_ops_test.py:219-1027 variant cases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeprec_tpu import config as cfg
+from deeprec_tpu.embedding import table as ev
+from deeprec_tpu.embedding import variants as va
+
+
+def test_multihash_qr_complementary():
+    # Q-R decomposition must be injective over [0, b0*b1)
+    b0, b1 = 32, 37
+    ids = jnp.arange(b0 * b1, dtype=jnp.int32)
+    q, r = va.multihash_split(ids, [b0, b1])
+    combos = np.asarray(q) * 1000 + np.asarray(r)
+    assert len(np.unique(combos)) == b0 * b1
+
+
+def test_multihash_lookup_ops():
+    rng = np.random.RandomState(0)
+    t1 = jnp.asarray(rng.randn(8, 4), jnp.float32)
+    t2 = jnp.asarray(rng.randn(11, 4), jnp.float32)
+    ids = jnp.array([5, 30, 87], jnp.int32)
+    add = va.multihash_lookup([t1, t2], ids, "add")
+    q, r = va.multihash_split(ids, [8, 11])
+    want = np.asarray(t1)[np.asarray(q)] + np.asarray(t2)[np.asarray(r)]
+    np.testing.assert_allclose(np.asarray(add), want, rtol=1e-6)
+    cat = va.multihash_lookup([t1, t2], ids, "concat")
+    assert cat.shape == (3, 8)
+
+
+def test_dynamic_dim_lookup():
+    t = ev.create("t", dim=8, capacity=64,
+                  option=cfg.EmbeddingVariableOption(
+                      init=cfg.InitializerOption(initializer="constant",
+                                                 constant=1.0)))
+    ids = jnp.array([1, 2, 3], jnp.int32)
+    t, lk = ev.lookup_phase(t, ids)
+    blocknums = jnp.array([1, 2, 4], jnp.int32)   # of 4 blocks x dim 2
+    out = va.dynamic_dim_lookup(t, lk, blocknums, block_dim=2)
+    want_nonzero = np.array([2, 4, 8])
+    got_nonzero = (np.asarray(out) != 0).sum(axis=1)
+    np.testing.assert_array_equal(got_nonzero, want_nonzero)
+
+
+def test_frequency_blocknums():
+    t = ev.create("t", dim=8, capacity=64)
+    t, _ = ev.lookup_phase(t, jnp.array([7] * 10 + [8], jnp.int32))
+    bn = va.frequency_blocknums(t, jnp.array([7, 8, 99], jnp.int32),
+                                thresholds=[2, 5])
+    np.testing.assert_array_equal(np.asarray(bn), [3, 1, 1])
+
+
+def test_adaptive_embedding_routes_by_freq():
+    t = ev.create("t", dim=4, capacity=128,
+                  option=cfg.EmbeddingVariableOption(
+                      init=cfg.InitializerOption(initializer="constant",
+                                                 constant=2.0)))
+    static = jnp.full((16, 4), 7.0, jnp.float32)
+    hot_ids = jnp.array([1] * 5, jnp.int32)
+    t, _, _, _ = va.adaptive_embedding_lookup(t, static, hot_ids,
+                                              freq_threshold=3)
+    # id 1 now hot (freq 5); id 2 cold (freq 1)
+    t, emb, lk, hot = va.adaptive_embedding_lookup(
+        t, static, jnp.array([1, 2], jnp.int32), freq_threshold=3)
+    assert bool(hot[0]) and not bool(hot[1])
+    np.testing.assert_allclose(np.asarray(emb[0]), [2, 2, 2, 2])
+    np.testing.assert_allclose(np.asarray(emb[1]), [7, 7, 7, 7])
+
+
+def test_simple_hash_table():
+    ht = va.SimpleHashTable(dim=3, capacity=64)
+    keys = jnp.array([10, 20, 30], jnp.int32)
+    vals = jnp.asarray(np.arange(9).reshape(3, 3), jnp.float32)
+    ht = ht.insert(keys, vals)
+    assert ht.size == 3
+    rows, found = ht.lookup(jnp.array([20, 99], jnp.int32), default=-1.0)
+    assert bool(found[0]) and not bool(found[1])
+    np.testing.assert_allclose(np.asarray(rows[0]), [3, 4, 5])
+    np.testing.assert_allclose(np.asarray(rows[1]), [-1, -1, -1])
+    ht = ht.erase(jnp.array([10], jnp.int32))
+    assert ht.size == 2
+    ek, evs = ht.export()
+    assert sorted(ek.tolist()) == [20, 30]
