@@ -141,3 +141,59 @@ class ProfilerHook(Hook):
             jax.profiler.stop_trace()
             self._active = False
         return state
+
+
+class SummaryHook(Hook):
+    """Scalar-summary writer (the TensorBoard/add_summary observability role,
+    work_queue.py add_summary / _add_layer_summary): appends JSONL records
+    {step, wall_time, loss, auc, **extra_fns} consumable by any dashboard."""
+
+    def __init__(self, log_dir: str, every_steps: int = 100, extra_fns=None):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "scalars.jsonl")
+        self.every = every_steps
+        self.extra_fns = extra_fns or {}
+
+    def after_step(self, state, metrics, step):
+        if (step + 1) % self.every:
+            return state
+        rec = {
+            "step": step + 1,
+            "wall_time": time.time(),
+            "loss": float(metrics["loss"]),
+            "auc": M.auc_value(state.auc),
+        }
+        for name, fn in self.extra_fns.items():
+            rec[name] = fn(state)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return state
+
+
+class TableStatsHook(Hook):
+    """Periodic embedding-table stats (sizes, load factors, growth hints) —
+    the serving get_serving_model_info / EV introspection role for training."""
+
+    def __init__(self, log_dir: str, every_steps: int = 500):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "tables.jsonl")
+        self.every = every_steps
+
+    def after_step(self, state, metrics, step):
+        if (step + 1) % self.every:
+            return state
+        rec = {"step": step + 1, "tables": {}}
+        for n, t in state.tables.items():
+            cap = t.keys.shape[-1]
+            import numpy as np
+
+            size = int(np.sum(np.asarray(t.size)))
+            rec["tables"][n] = {
+                "size": size,
+                "capacity": int(np.prod(t.keys.shape)),
+                "load": round(size / max(int(np.prod(t.keys.shape)), 1), 4),
+                "growth_hint": int(np.sum(np.asarray(t.growth_hint))),
+            }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return state

@@ -132,3 +132,34 @@ def test_eval_step_sharded():
     logits, loss = tr.eval_step(state, next(it))
     assert logits.shape == (256,)
     assert np.isfinite(float(loss))
+
+
+def test_distributed_sequence_model():
+    """DIN (sequence attention, shared tables) through the sharded path."""
+
+    import dataclasses
+    from deeprec_tpu.data.behavior import SyntheticBehavior
+    from deeprec_tpu.models import get_model
+
+    model = get_model("din")
+    specs = {n: dataclasses.replace(s, initial_capacity=2 ** 10)
+             for n, s in model.table_specs.items()}
+    model = dataclasses.replace(model, table_specs=specs)
+    mesh = mesh8()
+    tr = DistributedTrainer(
+        model=model, mesh=mesh,
+        sparse_optimizer=sparse.adagrad(lr=0.05),
+        dense_tx=optax.adam(1e-3), per_shard_capacity=2 ** 10,
+    )
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticBehavior(batch_size=256, num_items=1000, num_categories=40,
+                            seq_len=10, seed=1)
+    it = iter(gen)
+    losses = []
+    for _ in range(20):
+        state, loss = tr.train_step(state, next(it))
+        losses.append(float(loss))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+    logits, _ = tr.eval_step(state, next(it))
+    assert logits.shape == (256,)
