@@ -1,0 +1,72 @@
+"""Serving feature stores: in-memory tables or a shared Redis cluster.
+
+The reference's ``feature_store_type`` (serving/processor model_config:
+"memory" | "redis" | "cluster_redis"; storage/redis_feature_store.{h,cc})
+lets many serving instances share one parameter store.  Here:
+
+  * ``MemoryFeatureStore`` — the default: the Processor's own restored
+    tables (zero-copy; what test_serving exercises).
+  * ``RedisFeatureStore`` — key/value rows in Redis; available when a redis
+    client is installed (not in this image; the class degrades with a clear
+    error).  Row encoding matches the delta-file layout so a training job can
+    publish deltas straight into Redis.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+class MemoryFeatureStore:
+    """Thin view over restored EmbeddingTables (feature_store_type=memory)."""
+
+    def __init__(self, tables: Dict):
+        self.tables = tables
+
+    def lookup(self, table: str, ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        from deeprec_tpu.embedding import table as ev
+
+        t = self.tables[table]
+        rows = np.asarray(ev.lookup(t, jnp.asarray(ids)))
+        found = np.asarray(ev.contains(t, jnp.asarray(ids)))
+        return rows, found
+
+
+class RedisFeatureStore:
+    """EV rows in Redis (feature_store_type=redis/cluster_redis).
+
+    Keys: ``{prefix}:{table}:{id}`` -> row bytes (float32 little-endian).
+    """
+
+    def __init__(self, url: str = "redis://localhost:6379", prefix: str = "ev",
+                 cluster: bool = False):
+        try:
+            import redis  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "feature_store_type=redis requires the 'redis' package, "
+                "which is not installed in this environment; use "
+                "feature_store_type=memory") from e
+        cls = redis.RedisCluster if cluster else redis.Redis
+        self._r = cls.from_url(url)
+        self.prefix = prefix
+
+    def publish_table(self, name: str, keys: np.ndarray, rows: np.ndarray):
+        pipe = self._r.pipeline()
+        for k, row in zip(keys.tolist(), np.asarray(rows, np.float32)):
+            pipe.set(f"{self.prefix}:{name}:{k}", row.tobytes())
+        pipe.execute()
+
+    def lookup(self, table: str, ids: np.ndarray, dim: int):
+        vals = self._r.mget([f"{self.prefix}:{table}:{i}" for i in ids.tolist()])
+        out = np.zeros((len(ids), dim), np.float32)
+        found = np.zeros((len(ids),), bool)
+        for j, v in enumerate(vals):
+            if v is not None:
+                out[j] = np.frombuffer(v, np.float32)
+                found[j] = True
+        return out, found

@@ -135,3 +135,36 @@ def test_elastic_rescale_8_to_4():
     # continues training on the smaller mesh
     state2, loss = tr2.train_step(state2, next(it))
     assert np.isfinite(float(loss))
+
+
+def test_bf16_table_storage():
+    """bf16 value storage (HBM halving) trains and reads back finite."""
+
+    import jax.numpy as jnp
+    from deeprec_tpu.embedding import table as ev
+
+    t = ev.create("t", dim=8, capacity=128, value_dtype=jnp.bfloat16)
+    o = sparse.adagrad(lr=0.1)
+    t = o.init(t)
+    ids = jnp.arange(10, dtype=jnp.int32)
+    t, lk = ev.lookup_phase(t, ids, step=0)
+    t = o.apply(t, lk, jnp.ones((lk.uids.shape[0], 8)), step=0)
+    emb = ev.lookup(t, ids)
+    assert t.values.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(emb.astype(jnp.float32))))
+
+
+def test_feature_stores():
+    import jax.numpy as jnp
+    from deeprec_tpu.embedding import table as ev
+    from deeprec_tpu.serve.feature_store import (MemoryFeatureStore,
+                                                 RedisFeatureStore)
+
+    t = ev.create("t", dim=4, capacity=64)
+    t, _ = ev.lookup_phase(t, jnp.arange(5, dtype=jnp.int32))
+    fs = MemoryFeatureStore({"t": t})
+    rows, found = fs.lookup("t", np.array([0, 99], np.int32))
+    assert rows.shape == (2, 4)
+    assert found.tolist() == [True, False]
+    with pytest.raises(ImportError, match="redis"):
+        RedisFeatureStore()
