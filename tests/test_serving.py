@@ -134,3 +134,46 @@ def test_checkpoint_hook_cadence(tmp_path):
     state = tr.fit(state, iter(gen), steps=9, log_every=0, hooks=[hook])
     entries = sorted(os.listdir(str(tmp_path)))
     assert "step_4" in entries and "step_8" in entries and "step_9" in entries
+
+
+def test_http_server_roundtrip(tmp_path):
+    """JSON-over-HTTP surface: /v1/model and /v1/predict."""
+
+    import json
+    import urllib.request
+
+    from deeprec_tpu.serve.http_server import ServingServer
+
+    model, tr, state, it = _train_and_save(tmp_path)
+    p = Processor(model, {"session_num": 1, "bucket_sizes": [32],
+                          "warmup": False})
+    p.initialize(str(tmp_path))
+    srv = ServingServer(p, port=0).start()
+    try:
+        base_url = f"http://127.0.0.1:{srv.port}"
+        info = json.loads(urllib.request.urlopen(
+            base_url + "/v1/model", timeout=30).read())
+        assert info["model"] == model.name
+
+        b = next(it)
+        payload = json.dumps({
+            "dense": b["dense"][:5].tolist(),
+            "cat": {k: v[:5].tolist() for k, v in b["cat"].items()},
+        }).encode()
+        req = urllib.request.Request(base_url + "/v1/predict", data=payload,
+                                     headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert len(out["scores"]) == 5
+        assert all(0.0 <= s <= 1.0 for s in out["scores"])
+
+        # probe: malformed body -> clean 400
+        bad = urllib.request.Request(base_url + "/v1/predict", data=b"not json",
+                                     headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+        p.shutdown()

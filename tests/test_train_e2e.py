@@ -128,3 +128,30 @@ def test_model_smoke(model_name):
     assert np.isfinite(float(m["loss"]))
     logits, loss = trainer.eval_step(state, next(it))
     assert logits.shape == (64,)
+
+
+def test_weighted_sparse_combine():
+    """SparseFeature.weights (sparse_weights in embedding_lookup_sparse)."""
+
+    import jax.numpy as jnp
+    from deeprec_tpu import config as cfg
+    from deeprec_tpu.embedding import lookup as lkp
+    from deeprec_tpu.embedding import table as evt
+
+    t = evt.create("t", dim=4, capacity=64,
+                   option=cfg.EmbeddingVariableOption(
+                       init=cfg.InitializerOption(initializer="constant",
+                                                  constant=1.0)))
+    ids = jnp.array([[1, 2], [3, evt.empty_key(jnp.int32)]], jnp.int32)
+    w = jnp.array([[2.0, 3.0], [4.0, 9.9]], jnp.float32)
+    t, lk = evt.lookup_phase(t, ids.reshape(-1))
+    g = evt.collect(t, lk)
+    feat = lkp.SparseFeature(ids=ids, weights=w)
+    out_sum = lkp.combine(g, lk.inverse, feat, t.empty, cfg.Combiner.SUM)
+    np.testing.assert_allclose(np.asarray(out_sum[0]), [5, 5, 5, 5])
+    np.testing.assert_allclose(np.asarray(out_sum[1]), [4, 4, 4, 4])  # pad masked
+    out_mean = lkp.combine(g, lk.inverse, feat, t.empty, cfg.Combiner.MEAN)
+    np.testing.assert_allclose(np.asarray(out_mean[0]), [1, 1, 1, 1])
+    out_sqrtn = lkp.combine(g, lk.inverse, feat, t.empty, cfg.Combiner.SQRTN)
+    np.testing.assert_allclose(np.asarray(out_sqrtn[1]),
+                               np.full(4, 4.0 / 4.0), rtol=1e-6)
