@@ -173,7 +173,10 @@ def create(
         versions=jnp.zeros((c,), jnp.int32) if option.record_version else None,
         touched=jnp.zeros((c,), jnp.bool_) if option.record_touched else None,
         cbf=(
-            jnp.zeros((_cbf_num_counters(option.cbf_filter),), jnp.int32)
+            # counter dtype per config (reference tests int8/16/32/64 CBFs;
+            # narrow counters trade saturation ceiling for memory)
+            jnp.zeros((_cbf_num_counters(option.cbf_filter),),
+                      option.cbf_filter.counter_dtype)
             if option.cbf_filter is not None
             else None
         ),
@@ -303,10 +306,13 @@ def _cbf_probe(cbf: jnp.ndarray, ids: jnp.ndarray, k: int) -> jnp.ndarray:
 def _cbf_add(cbf: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
              valid: jnp.ndarray, k: int) -> jnp.ndarray:
     m = cbf.shape[0]
-    safe_counts = jnp.where(valid, counts, 0)
+    cap = int(jnp.iinfo(cbf.dtype).max)
+    safe_counts = jnp.where(valid, counts, 0).astype(cbf.dtype)
     for i in range(k):
         pos = hashing.bucket(ids, m, salt=101 + i)
-        cbf = cbf.at[jnp.where(valid, pos, m)].add(safe_counts, mode="drop")
+        upd = cbf.at[jnp.where(valid, pos, m)].add(safe_counts, mode="drop")
+        # saturate instead of wrapping (narrow counter dtypes)
+        cbf = jnp.where(upd < cbf, jnp.asarray(cap, cbf.dtype), upd)
     return cbf
 
 

@@ -161,3 +161,57 @@ def test_distributed_checkpoint_reshard(tmp_path):
     llogits, _ = lt.eval_step(restored, b)
     np.testing.assert_allclose(np.asarray(llogits), np.asarray(dlogits),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("opt_name", ["adagrad", "adagrad_decay", "adam",
+                                      "adam_async", "adamw", "ftrl", "sgd",
+                                      "momentum"])
+def test_optimizer_state_through_checkpoint(tmp_path, opt_name):
+    """Every optimizer's slot variables must survive save/restore such that
+    continued training is bit-identical (the reference's slot-EV export)."""
+
+    from tests.test_sparse_optimizers import OPTS
+
+    o = OPTS[opt_name]()
+    t = ev.create("t", dim=4, capacity=256,
+                  option=cfg.EmbeddingVariableOption(
+                      init=cfg.InitializerOption(initializer="zeros")))
+    t = o.init(t)
+    rng = np.random.RandomState(0)
+    ids = jnp.arange(20, dtype=jnp.int32)
+    for step in range(3):
+        t, lk = ev.lookup_phase(t, ids, step=step)
+        g = jnp.asarray(rng.randn(lk.uids.shape[0], 4), jnp.float32)
+        t = o.apply(t, lk, g, step=step)
+
+    p = str(tmp_path / f"{opt_name}.npz")
+    saver.save_table(p, t)
+    t2 = saver.restore_table(p, t)
+
+    for step in range(3, 5):
+        t, lk = ev.lookup_phase(t, ids, step=step)
+        t2, lk2 = ev.lookup_phase(t2, ids, step=step)
+        g = jnp.asarray(rng.randn(lk.uids.shape[0], 4), jnp.float32)
+        t = o.apply(t, lk, g, step=step)
+        t2 = o.apply(t2, lk2, g, step=step)
+    np.testing.assert_array_equal(np.asarray(ev.lookup(t, ids)),
+                                  np.asarray(ev.lookup(t2, ids)))
+
+
+def test_cbf_narrow_counter_dtype():
+    import jax.numpy as jnp2
+
+    opt = cfg.EmbeddingVariableOption(
+        cbf_filter=cfg.CBFFilterOption(filter_freq=3, max_element_size=100,
+                                       counter_dtype=jnp2.int8))
+    t = ev.create("t", dim=4, capacity=64, option=opt)
+    assert t.cbf.dtype == jnp2.int8
+    ids = jnp.array([42], jnp.int32)
+    for step in range(3):
+        t, lk = ev.lookup_phase(t, ids, step=step)
+    assert int(t.size) == 1  # admitted at count 3 with int8 counters
+    # saturation: hammer one id far past int8 range, counters must not wrap
+    many = jnp.array([7] * 50, jnp.int32)
+    for step in range(6):
+        t, _ = ev.lookup_phase(t, many, step=step)
+    assert int(jnp.max(t.cbf)) == 127
