@@ -24,8 +24,9 @@ static shapes, so the table grows by rebuild-and-rehash at powers of two —
 amortized O(1), a handful of recompiles over a job's lifetime.
 
 Batched lookup-or-insert is deterministic under SPMD: intra-batch claim races
-are resolved by scatter-min on candidate index, so every replica that executes
-the same batch computes the identical table.
+are resolved by a stable sort over candidate slots (first id in each
+equal-slot run wins), so every replica that executes the same batch computes
+the identical table.
 """
 
 from __future__ import annotations
@@ -70,6 +71,11 @@ class EmbeddingTable(struct.PyTreeNode):
     name: str = struct.field(pytree_node=False)
     dim: int = struct.field(pytree_node=False)
     option: cfg.EmbeddingVariableOption = struct.field(pytree_node=False)
+    # (slot name, init value) pairs — inserts must reset recycled slots'
+    # optimizer state to its init (rebuilds zero-fill dead rows; a new key
+    # landing there must NOT inherit a zeroed accumulator: rsqrt(0) -> inf).
+    slot_inits: Tuple[Tuple[str, float], ...] = struct.field(
+        pytree_node=False, default=())
 
     @property
     def capacity(self) -> int:
@@ -198,7 +204,10 @@ def with_slot(table: EmbeddingTable, slot_name: str, width: Optional[int] = None
         return table
     w = table.dim if width is None else width
     slot = jnp.full((table.capacity, w), init, table.value_dtype)
-    return table.replace(slots={**table.slots, slot_name: slot})
+    return table.replace(
+        slots={**table.slots, slot_name: slot},
+        slot_inits=table.slot_inits + ((slot_name, float(init)),),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -383,6 +392,7 @@ def _lookup_phase(
     safe_slot = jnp.where(found, slot_ids, no_slot)
 
     values = table.values
+    slot_arrays = table.slots
     freqs = table.freqs
     versions = table.versions
     touched = table.touched
@@ -398,8 +408,13 @@ def _lookup_phase(
         init_rows = table.default_rows[row_sel]
         ins_slot = jnp.where(inserted, slot_ids, no_slot)
         values = values.at[ins_slot].set(init_rows, mode="drop")
-        for sname in table.slots:
-            pass  # slot values start at their init (set in with_slot); new rows already zeroed
+        # Reset recycled rows' optimizer slots to their init value: rebuilds
+        # zero-fill dead rows, and a fresh key must not inherit that zero
+        # (adagrad rsqrt(0) = inf -> NaN on the first zero-gradient apply).
+        slot_arrays = dict(table.slots)
+        for sname, sinit in table.slot_inits:
+            slot_arrays[sname] = slot_arrays[sname].at[ins_slot].set(
+                jnp.asarray(sinit, table.value_dtype), mode="drop")
         if versions is not None:
             versions = versions.at[ins_slot].set(step, mode="drop")
         size = size + jnp.sum(inserted).astype(jnp.int32)
@@ -418,8 +433,9 @@ def _lookup_phase(
         admitted = found & (f >= opt.counter_filter.filter_freq)
 
     new_table = table.replace(
-        keys=keys, values=values, freqs=freqs, versions=versions,
-        touched=touched, cbf=cbf, size=size, growth_hint=growth_hint,
+        keys=keys, values=values, slots=slot_arrays, freqs=freqs,
+        versions=versions, touched=touched, cbf=cbf, size=size,
+        growth_hint=growth_hint,
     )
     lk = Lookup(
         uids=uids, counts=counts, inverse=inverse,

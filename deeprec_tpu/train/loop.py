@@ -349,6 +349,9 @@ class Trainer:
     ) -> TrainState:
         t0 = time.time()
         seen = 0
+        # hooks see the GLOBAL step (state.step), not this fit()'s loop index —
+        # checkpoint/delta numbering must be monotonic across fit calls.
+        global_start = int(jax.device_get(state.step))
         for i, batch in enumerate(data_iter):
             if i >= steps:
                 break
@@ -357,7 +360,7 @@ class Trainer:
             if grow_every and (i + 1) % grow_every == 0:
                 state = self.maybe_grow(state)
             for h in hooks:
-                state = h.after_step(state, m, i)
+                state = h.after_step(state, m, global_start + i)
             if log_every and (i + 1) % log_every == 0:
                 dt = time.time() - t0
                 log_fn(

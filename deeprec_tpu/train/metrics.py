@@ -59,3 +59,9 @@ def auc_value(state: AucState) -> float:
     # thresholds descend along the curve; integrate with trapezoid
     order = np.argsort(fpr)
     return float(np.trapezoid(tpr[order], fpr[order]))
+
+
+def reset(state: AucState) -> AucState:
+    """Fresh accumulator (epoch-boundary metric reset)."""
+
+    return AucState.create()

@@ -153,9 +153,11 @@ def restore_table(
                       key_dtype=template.key_dtype,
                       value_dtype=template.value_dtype,
                       option=template.option, capacity=cap)
+    inits = dict(template.slot_inits)
     for sname in template.slots:
         fresh = ev.with_slot(fresh, sname,
-                             width=template.slots[sname].shape[-1])
+                             width=template.slots[sname].shape[-1],
+                             init=inits.get(sname, 0.0))
     if n == 0:
         return fresh
     return _bulk_import(fresh, data, idx)

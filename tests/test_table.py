@@ -200,3 +200,29 @@ def test_lookup_phase_jits():
     t, e2 = step(t, jnp.array([10, 30, 20], jnp.int32))
     np.testing.assert_array_equal(np.asarray(e1[0]), np.asarray(e2[0]))
     assert int(t.size) == 3
+
+
+def test_recycled_slot_rows_reinitialized():
+    """Regression: after a rebuild (grow/evict), a NEW key inserted into a
+    recycled slot must get the optimizer slot INIT value, not the zero left
+    by the rebuild fill — adagrad with eps=0 otherwise produces
+    rsqrt(0)*0 = NaN on its first zero-gradient apply."""
+
+    from deeprec_tpu.optimizers import sparse
+
+    o = sparse.adagrad(lr=0.1, initial_accumulator_value=0.1)
+    t = ev.create("t", dim=4, capacity=64)
+    t = o.init(t)
+    t, _ = ev.lookup_phase(t, jnp.arange(30, dtype=jnp.int32), step=0)
+    t = ev.remove(t, jnp.arange(30, dtype=jnp.int32))  # rebuild zero-fills
+    # new keys land on recycled rows
+    t, lk = ev.lookup_phase(t, jnp.arange(100, 130, dtype=jnp.int32), step=1)
+    acc = t.slots["accumulator"].at[
+        jnp.where(lk.slot_ids < t.capacity, lk.slot_ids, t.capacity)
+    ].get(mode="fill", fill_value=-1.0)
+    valid = lk.valid & (lk.slot_ids < t.capacity)
+    assert float(jnp.min(jnp.where(valid[:, None], acc, 1.0))) >= 0.1 - 1e-6
+    # zero-gradient apply must stay finite
+    t = o.apply(t, lk, jnp.zeros((lk.uids.shape[0], 4)), step=1)
+    emb = ev.lookup(t, jnp.arange(100, 130, dtype=jnp.int32))
+    assert bool(jnp.all(jnp.isfinite(emb)))
