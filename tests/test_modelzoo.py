@@ -99,3 +99,23 @@ def test_esmm_ctcvr_bounded_by_ctr():
     p_ctr = jax.nn.sigmoid(out["ctr"].astype(jnp.float32))
     p_ctcvr = jax.nn.sigmoid(out["ctcvr"].astype(jnp.float32))
     assert bool(jnp.all(p_ctcvr <= p_ctr + 1e-6))
+
+
+@pytest.mark.parametrize("name", ["dien", "bst"])
+def test_sequence_models_learn(name):
+    """DIEN (GRU+AUGRU) and BST (transformer) recover the planted cluster
+    preference, like DIN."""
+
+    model = small_model(name)
+    tables = base.make_tables(model)
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.1),
+                 dense_tx=optax.adam(1e-3))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticBehavior(batch_size=256, num_items=1000, num_categories=40,
+                            num_clusters=16, seq_len=10, seed=1)
+    state = tr.fit(state, iter(gen), steps=200, log_every=0)
+    ev = SyntheticBehavior(batch_size=256, num_items=1000, num_categories=40,
+                           num_clusters=16, seq_len=10, seed=9)
+    m = tr.evaluate(state, iter(ev), 8)
+    assert m["auc"] > 0.65, (name, m)
