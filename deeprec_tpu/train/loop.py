@@ -390,3 +390,30 @@ class Trainer:
         logits = np.concatenate(all_logits)
         labels = np.concatenate(all_labels)
         return {"auc": auc_numpy(logits, labels), "loss": float(np.mean(losses))}
+
+
+def train_and_evaluate(
+    trainer: Trainer,
+    state: TrainState,
+    train_iter,
+    eval_iter_fn: Callable[[], Any],
+    *,
+    total_steps: int,
+    eval_every: int = 1000,
+    eval_steps: int = 50,
+    hooks=(),
+    log_fn: Callable = print,
+) -> TrainState:
+    """Estimator-style alternating train/evaluate driver
+    (tf.estimator.train_and_evaluate role; the reference patches Estimator in
+    a separate repo — here it is a 20-line convenience over Trainer)."""
+
+    done = 0
+    while done < total_steps:
+        chunk = min(eval_every, total_steps - done)
+        state = trainer.fit(state, train_iter, chunk, hooks=hooks,
+                            log_every=0)
+        done += chunk
+        m = trainer.evaluate(state, eval_iter_fn(), eval_steps)
+        log_fn(f"eval @ step {done}: auc={m['auc']:.4f} loss={m['loss']:.4f}")
+    return state
