@@ -149,3 +149,34 @@ def test_work_queue_input_dataset(tmp_path):
             for b in q.input_dataset(
                 lambda paths: CriteoTSV(paths, batch_size=128)))
     assert n == 2 * 256  # 300//128 = 2 batches per file
+
+
+def test_parquet_reader(tmp_path):
+    """CriteoParquet (the ParquetDataset capability) round-trip via pyarrow."""
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deeprec_tpu.data.criteo import CriteoParquet
+    from deeprec_tpu.models import base
+
+    rng = np.random.RandomState(0)
+    n = 600
+    cols = {base.LABEL_COLUMN: rng.randint(0, 2, n).astype(np.float32)}
+    for c in base.CONTINUOUS_COLUMNS:
+        cols[c] = rng.randint(0, 100, n).astype(np.int64)
+    for c in base.CATEGORICAL_COLUMNS:
+        cols[c] = rng.randint(0, 2 ** 31, n).astype(np.int64)
+    p = str(tmp_path / "part.parquet")
+    pq.write_table(pa.table(cols), p)
+
+    batches = list(CriteoParquet([p], batch_size=256))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["dense"].shape == (256, 13)
+    np.testing.assert_allclose(
+        b["dense"][:, 0], np.log1p(cols["I1"][:256].astype(np.float32)),
+        rtol=1e-6)
+    np.testing.assert_array_equal(
+        b["cat"]["C1"], (cols["C1"][:256] & 0x7FFFFFFF).astype(np.int32))
+    np.testing.assert_array_equal(b["label"], cols[base.LABEL_COLUMN][:256])
