@@ -119,3 +119,26 @@ def test_sequence_models_learn(name):
                            num_clusters=16, seq_len=10, seed=9)
     m = tr.evaluate(state, iter(ev), 8)
     assert m["auc"] > 0.65, (name, m)
+
+
+@pytest.mark.parametrize("name", ["wdl", "dlrm", "deepfm", "dcn", "dcnv2",
+                                  "masknet", "dssm", "mmoe", "esmm", "ple",
+                                  "dbmtl", "simplemultitask"])
+def test_every_model_learns(name):
+    """Every non-sequence model lifts eval AUC well above chance on the
+    planted-signal generators (the modelzoo benchmark's AUC check role)."""
+
+    model = small_model(name)
+    tr = Trainer(model=model, tables=base.make_tables(model),
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.02))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    if model.tasks:
+        gen = SyntheticMultiTask(batch_size=256, num_ids_per_col=800, seed=1)
+        egen = SyntheticMultiTask(batch_size=256, num_ids_per_col=800, seed=9)
+    else:
+        gen = SyntheticCriteo(batch_size=256, num_ids_per_col=800, seed=1)
+        egen = SyntheticCriteo(batch_size=256, num_ids_per_col=800, seed=9)
+    state = tr.fit(state, iter(gen), steps=150, log_every=0)
+    m = tr.evaluate(state, iter(egen), 8)
+    assert m["auc"] > 0.62, (name, m)
