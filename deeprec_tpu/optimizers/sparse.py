@@ -246,7 +246,10 @@ def adamw(lr: float = 0.001, beta1: float = 0.9, beta2: float = 0.999,
 
 
 def _ftrl_update(p, s, g, ctx):
-    # KvSparseApplyFtrl (training_ali_ops.cc): accum/linear formulation.
+    # KvSparseApplyFtrl (training_ali_ops.cc): accum/linear formulation with
+    # accum^{-lr_power}; learning_rate_power is validated <= 0 (TF semantics),
+    # so -lr_power >= 0 and step sizes SHRINK as the accumulator grows
+    # (lr_power=-0.5 -> the classic sqrt(accum) schedule).
     lr, l1, l2, power = ctx["lr"], ctx["l1"], ctx["l2"], ctx["lr_power"]
     a = s["accumulator"]
     a_new = a + jnp.square(g)
@@ -259,7 +262,11 @@ def _ftrl_update(p, s, g, ctx):
 
 
 def ftrl(lr: float = 0.01, initial_accumulator_value: float = 0.1,
-         l1: float = 0.0, l2: float = 0.0, lr_power: float = 0.5) -> SparseOptimizer:
+         l1: float = 0.0, l2: float = 0.0, lr_power: float = -0.5) -> SparseOptimizer:
+    if lr_power > 0:
+        raise ValueError(
+            f"lr_power must be <= 0 (got {lr_power}); positive values grow "
+            "the step size as the accumulator grows and diverge")
     return SparseOptimizer(
         name="Ftrl",
         slot_names=("accumulator", "linear"),

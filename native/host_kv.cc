@@ -24,12 +24,18 @@
 
 namespace {
 
-constexpr int64_t kEmptyKey = INT64_MIN;
+// Slot lifecycle: kFree -> kLive -> kTomb (erase) -> kLive (reuse) / kFree
+// (rehash).  An explicit state byte instead of reserved key values: every
+// int64 is a legal user key, and tombstones can be counted and reclaimed
+// (the reference's lockless map reserves empty/deleted keys instead —
+// cpu_hash_map_kv.h — which this design deliberately avoids).
+enum SlotState : uint8_t { kFree = 0, kLive = 1, kTomb = 2 };
 
 struct Slot {
-  int64_t key = kEmptyKey;
-  int64_t loc = -1;     // >=0: dram row index; <0 && key set: ~loc = ssd offset
+  int64_t key = 0;
+  int64_t loc = -1;     // >=0: dram row index; <0 && live: ~loc = ssd offset
   uint32_t freq = 0;
+  uint8_t state = kFree;
 };
 
 struct HostKV {
@@ -38,6 +44,7 @@ struct HostKV {
   // index
   std::vector<Slot> slots;
   int64_t count = 0;          // live keys
+  int64_t tombstones = 0;     // erased-but-unreclaimed slots
   // dram arena
   std::vector<uint8_t> arena;
   std::vector<int64_t> arena_owner;   // slot index per dram row (for eviction)
@@ -60,27 +67,45 @@ uint64_t mix64(uint64_t x) {
   return x;
 }
 
-int64_t probe(const HostKV& kv, int64_t key) {
-  // triangular probing over power-of-two capacity; returns slot idx of key
-  // or of first empty.
+// Triangular probing over power-of-two capacity.  Sets *found and returns
+// the key's slot if live, else the insertion slot: the first tombstone on
+// the probe chain (reclaiming it), or the terminating free slot.
+// Terminates because occupancy (live + tombstones) is kept below cap/2.
+int64_t probe(const HostKV& kv, int64_t key, bool* found) {
   int64_t mask = kv.cap() - 1;
   int64_t h = static_cast<int64_t>(mix64(static_cast<uint64_t>(key))) & mask;
+  int64_t first_tomb = -1;
   for (int64_t r = 0;; ++r) {
     int64_t s = (h + r * (r + 1) / 2) & mask;
-    if (kv.slots[s].key == key || kv.slots[s].key == kEmptyKey) return s;
+    const Slot& sl = kv.slots[s];
+    if (sl.state == kLive && sl.key == key) { *found = true; return s; }
+    if (sl.state == kTomb && first_tomb < 0) first_tomb = s;
+    if (sl.state == kFree) {
+      *found = false;
+      return first_tomb >= 0 ? first_tomb : s;
+    }
   }
 }
 
 void grow_index(HostKV& kv) {
   std::vector<Slot> old = std::move(kv.slots);
   kv.slots.assign(old.size() * 2, Slot{});
+  kv.tombstones = 0;  // rehash drops every tombstone
   for (const Slot& s : old) {
-    if (s.key != kEmptyKey) {
-      int64_t d = probe(kv, s.key);
-      kv.slots[d] = s;
-      if (s.loc >= 0) kv.arena_owner[s.loc] = d;
-    }
+    if (s.state != kLive) continue;
+    bool found;
+    int64_t d = probe(kv, s.key, &found);
+    kv.slots[d] = s;
+    if (s.loc >= 0) kv.arena_owner[s.loc] = d;
   }
+}
+
+// Grow (purging tombstones) whenever live+tomb occupancy would reach the
+// 0.5 load threshold — bounds probe chains AND reclaims erased slots, so
+// the promote-erase/demote-reinsert cycle of tiered training cannot
+// exhaust free slots.
+void maybe_grow(HostKV& kv) {
+  if ((kv.count + kv.tombstones + 1) * 2 >= kv.cap()) grow_index(kv);
 }
 
 int64_t dram_alloc(HostKV& kv) {
@@ -172,11 +197,15 @@ void hkv_upsert(void* h, int64_t n, const int64_t* keys, const uint8_t* rows,
   auto* kv = static_cast<HostKV*>(h);
   std::lock_guard<std::mutex> l(kv->mu);
   for (int64_t i = 0; i < n; ++i) {
-    if (kv->count * 2 >= kv->cap()) grow_index(*kv);
-    int64_t s = probe(*kv, keys[i]);
+    maybe_grow(*kv);
+    bool found;
+    int64_t s = probe(*kv, keys[i], &found);
     Slot& slot = kv->slots[s];
-    if (slot.key == kEmptyKey) {
+    if (!found) {
+      if (slot.state == kTomb) kv->tombstones--;
+      slot.state = kLive;
       slot.key = keys[i];
+      slot.freq = 0;
       slot.loc = dram_alloc(*kv);
       kv->arena_owner[slot.loc] = s;
       kv->count++;
@@ -203,9 +232,10 @@ int64_t hkv_lookup(void* h, int64_t n, const int64_t* keys, uint8_t* out,
   std::lock_guard<std::mutex> l(kv->mu);
   int64_t hits = 0;
   for (int64_t i = 0; i < n; ++i) {
-    int64_t s = probe(*kv, keys[i]);
+    bool hit;
+    int64_t s = probe(*kv, keys[i], &hit);
+    if (!hit) { found[i] = 0; continue; }
     Slot& slot = kv->slots[s];
-    if (slot.key != keys[i]) { found[i] = 0; continue; }
     found[i] = 1;
     ++hits;
     if (slot.loc >= 0) {
@@ -233,9 +263,10 @@ int64_t hkv_lookup(void* h, int64_t n, const int64_t* keys, uint8_t* out,
         kv->log_live -= kv->row_bytes;
       }
       slot.loc = -1;
-      slot.key = kEmptyKey + 1;  // tombstone: keeps probe chains intact
+      slot.state = kTomb;  // keeps probe chains intact until the next rehash
       slot.freq = 0;
       kv->count--;
+      kv->tombstones++;
     } else {
       slot.freq++;
     }
@@ -269,7 +300,7 @@ int64_t hkv_export(void* h, int64_t max_n, int64_t* keys, uint8_t* rows,
   std::lock_guard<std::mutex> l(kv->mu);
   int64_t n = 0;
   for (const Slot& s : kv->slots) {
-    if (s.key == kEmptyKey || s.key == kEmptyKey + 1) continue;
+    if (s.state != kLive) continue;
     if (n >= max_n) break;
     keys[n] = s.key;
     if (s.loc >= 0) {
@@ -296,7 +327,7 @@ int64_t hkv_compact(void* h) {
   int64_t off = 0;
   std::vector<uint8_t> row(kv->row_bytes);
   for (Slot& s : kv->slots) {
-    if (s.key == kEmptyKey || s.key == kEmptyKey + 1 || s.loc >= 0) continue;
+    if (s.state != kLive || s.loc >= 0) continue;
     log_read(*kv, ~s.loc, row.data());
     fseeko(nf, off, SEEK_SET);
     fwrite(row.data(), 1, static_cast<size_t>(kv->row_bytes), nf);

@@ -71,13 +71,15 @@ def dense_reference(name, p0, grads):
             lr_t = 0.1 * np.sqrt(1 - b2p) / (1 - b1p)
             p -= lr_t * m / (np.sqrt(v) + 1e-8)
     elif name == "ftrl":
+        # TF/DeepRec FTRL with learning_rate_power=-0.5: the accumulator
+        # enters as new_accum^{-lr_power} = sqrt(new_accum).
         a = np.full_like(p, 0.1)
         lin = np.zeros_like(p)
         for g in grads:
             a_new = a + g * g
-            sigma = (a_new ** -0.5 - a ** -0.5) / 0.1
+            sigma = (a_new ** 0.5 - a ** 0.5) / 0.1
             lin += g - sigma * p
-            quad = a_new ** -0.5 / 0.1
+            quad = a_new ** 0.5 / 0.1
             p = np.where(np.abs(lin) > 0.0, (np.clip(lin, 0, 0) - lin) / quad, 0.0)
             a = a_new
     elif name == "momentum":

@@ -54,6 +54,41 @@ def test_host_kv_ssd_spill_and_compact(tmp_path):
     np.testing.assert_array_equal(got, rows[700:900])
 
 
+def test_host_kv_erase_reinsert_cycles_reclaim_tombstones():
+    """The tiered training pattern — promote (lookup erase=1) then demote
+    (re-upsert) every key, repeatedly.  Before tombstone accounting this
+    leaked one dead slot per key cycle and eventually hung probe() in an
+    unbounded loop; now erased slots are reused and rehashes purge them."""
+
+    kv = HostKV(row_floats=4, capacity_hint=64)
+    keys = np.arange(100, dtype=np.int64)
+    rows = np.random.RandomState(1).randn(100, 4).astype(np.float32)
+    for cycle in range(200):  # far beyond the index capacity
+        kv.upsert(keys, rows)
+        got, _, found = kv.lookup(keys, erase=True)
+        assert found.all()
+        np.testing.assert_array_equal(got, rows)
+    assert kv.size == 0
+
+
+def test_host_kv_extreme_keys():
+    """INT64_MIN / INT64_MIN+1 used to alias the empty/tombstone sentinels;
+    the explicit slot-state byte makes every int64 a legal key."""
+
+    kv = HostKV(row_floats=2, capacity_hint=16)
+    keys = np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).min + 1,
+                     0, -1, np.iinfo(np.int64).max], np.int64)
+    rows = np.arange(10, dtype=np.float32).reshape(5, 2)
+    kv.upsert(keys, rows)
+    got, _, found = kv.lookup(keys)
+    assert found.all()
+    np.testing.assert_array_equal(got, rows)
+    # erase one extreme key; the others must stay reachable
+    kv.lookup(keys[:1], erase=True)
+    _, _, found = kv.lookup(keys)
+    assert list(found) == [False, True, True, True, True]
+
+
 def test_demote_promote_roundtrip():
     t = ev.create("t", dim=4, capacity=256,
                   option=cfg.EmbeddingVariableOption())
