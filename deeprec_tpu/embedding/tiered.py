@@ -123,6 +123,16 @@ class TieredTable:
     def export_cold(self):
         return self.cold.export()
 
+    def import_cold(self, keys: np.ndarray, rows: np.ndarray,
+                    freqs: np.ndarray) -> None:
+        """Rebuild the cold store from a checkpoint's cold dump
+        (tier-complete restore; the inverse of export_cold)."""
+
+        if len(keys):
+            self.cold.upsert(np.asarray(keys, np.int64),
+                             np.asarray(rows, np.float32),
+                             np.asarray(freqs, np.uint32))
+
     def compact(self) -> int:
         return self.cold.compact()
 

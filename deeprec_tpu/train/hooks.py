@@ -63,12 +63,15 @@ class CheckpointSaverHook(Hook):
     def __init__(self, ckpt_dir: str, save_secs: Optional[float] = None,
                  save_steps: Optional[int] = None,
                  incremental_save_secs: Optional[float] = None,
-                 shrink_on_save: bool = False):
+                 shrink_on_save: bool = False, tiers=None):
         self.ckpt_dir = ckpt_dir
         self.save_secs = save_secs
         self.save_steps = save_steps
         self.incr_secs = incremental_save_secs
         self.shrink = shrink_on_save
+        # Same mapping as Trainer(tiers=...): makes full saves tier-complete
+        # (cold rows dumped alongside the hot table).
+        self.tiers = tiers
         now = time.time()
         self._last_full = now
         self._last_incr = now
@@ -99,7 +102,7 @@ class CheckpointSaverHook(Hook):
             or (self.save_secs and now - self._last_full >= self.save_secs))
         if full_due:
             saver.save_checkpoint(self.ckpt_dir, state, step=step + 1,
-                                  shrink=self.shrink)
+                                  shrink=self.shrink, tiers=self.tiers)
             self._last_full = now
             self._last_incr = now
             return state
@@ -109,7 +112,7 @@ class CheckpointSaverHook(Hook):
         return state
 
     def end(self, state):
-        saver.save_checkpoint(self.ckpt_dir, state)
+        saver.save_checkpoint(self.ckpt_dir, state, tiers=self.tiers)
         return state
 
 

@@ -122,10 +122,21 @@ def _table_shards(table: ev.EmbeddingTable) -> List[ev.EmbeddingTable]:
 
 
 def save_table(path: str, table: ev.EmbeddingTable, *, shrink_step=None):
-    parts = [_export_table_host(t, shrink_step=shrink_step)
-             for t in _table_shards(table)]
+    shards = _table_shards(table)
+    parts = [_export_table_host(t, shrink_step=shrink_step) for t in shards]
     merged, offsets = _merge_and_partition(parts)
-    np.savez(path, partition_offsets=offsets, **merged)
+    extra = {}
+    if shards[0].cbf is not None:
+        # Pre-admission CBF state (the reference's filtered-feature persistence,
+        # kv_interface.h:26 -keys_filtered/-freqs_filtered): keys route to one
+        # owner shard, so summing per-shard sketches yields the global count
+        # sketch.  Saturate at the counter dtype's ceiling instead of wrapping.
+        dt = shards[0].cbf.dtype
+        acc = np.zeros(shards[0].cbf.shape, np.int64)
+        for t in shards:
+            acc += np.asarray(jax.device_get(t.cbf), np.int64)
+        extra["cbf"] = np.minimum(acc, np.iinfo(dt).max).astype(dt)
+    np.savez(path, partition_offsets=offsets, **merged, **extra)
 
 
 def restore_table(
@@ -158,6 +169,15 @@ def restore_table(
         fresh = ev.with_slot(fresh, sname,
                              width=template.slots[sname].shape[-1],
                              init=inits.get(sname, 0.0))
+    if "cbf" in data and fresh.cbf is not None:
+        saved = data["cbf"]
+        if saved.shape == fresh.cbf.shape:
+            # Restore pre-admission progress.  On a reshard every shard gets
+            # the full global sketch: per-key estimates stay >= the true count
+            # for the keys that shard owns, so no key admits *later* than it
+            # would have without the restart (conservative in the admit-sooner
+            # direction only for hash collisions — same FP story as any CBF).
+            fresh = fresh.replace(cbf=jnp.asarray(saved, fresh.cbf.dtype))
     if n == 0:
         return fresh
     return _bulk_import(fresh, data, idx)
@@ -166,8 +186,14 @@ def restore_table(
 def _bulk_import(fresh: ev.EmbeddingTable, data, idx) -> ev.EmbeddingTable:
     keys = jnp.asarray(data["keys"][idx], fresh.key_dtype)
     valid = jnp.ones(keys.shape, jnp.bool_)
-    new_keys, slots, inserted, n_failed = ev._find_or_insert(
-        fresh.keys, keys, valid, valid)
+    while True:
+        new_keys, slots, inserted, n_failed = ev._find_or_insert(
+            fresh.keys, keys, valid, valid)
+        if int(jax.device_get(n_failed)) == 0:
+            break
+        # Pathological probe overflow at this capacity: grow and re-derive
+        # (the partial insert is discarded with new_keys).
+        fresh = ev.grow(fresh)
     dst = jnp.where(inserted, slots, jnp.int32(fresh.capacity))
 
     def put(arr, host):
@@ -240,8 +266,15 @@ def apply_table_delta(
         return table
     keys = jnp.asarray(data["keys"][idx], table.key_dtype)
     valid = jnp.ones(keys.shape, jnp.bool_)
-    new_keys, slots, inserted, _ = ev._find_or_insert(
-        table.keys, keys, valid, valid)
+    while True:
+        new_keys, slots, inserted, n_failed = ev._find_or_insert(
+            table.keys, keys, valid, valid)
+        if int(jax.device_get(n_failed)) == 0:
+            break
+        # Near-capacity upsert: grow, then re-derive the whole insert from the
+        # grown table (idempotent) — online delta application must not
+        # silently drop rows.
+        table = ev.grow(table)
     found = slots < table.capacity
     dst = jnp.where(found, slots, jnp.int32(table.capacity))
 
@@ -270,8 +303,16 @@ def apply_table_delta(
 
 
 def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
-                    shrink: bool = False) -> str:
-    """Full checkpoint of a TrainState (local or distributed)."""
+                    shrink: bool = False, tiers=None) -> str:
+    """Full checkpoint of a TrainState (local or distributed).
+
+    ``tiers`` ({table name: TieredTable} or ShardedTiers) makes the save
+    tier-complete: demoted (cold) rows are walked and dumped alongside the
+    hot table, matching the reference's multi-tier Save which iterates ALL
+    storage levels (multi_tier_storage.h:47, embedding_var.h Save ->
+    Storage::Save).  Without it a tiered job would lose every demoted row
+    on restart.
+    """
 
     step = int(state.step) if step is None else step
     d = os.path.join(ckpt_dir, f"step_{step}")
@@ -280,12 +321,19 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
              **_flatten_params({"params": state.params,
                                 "opt_state": state.opt_state,
                                 "auc": state.auc}))
-    meta = {"step": step, "tables": {}}
+    meta = {"step": step, "tables": {}, "cold": {}}
     for name, t in state.tables.items():
         fname = f"table_{name}.npz"
         save_table(os.path.join(d, fname), t,
                    shrink_step=state.step if shrink else None)
         meta["tables"][name] = fname
+    for name, tier in (tiers or {}).items():
+        keys, rows, freqs = tier.export_cold()
+        if len(keys) == 0:
+            continue
+        fname = f"cold_{name}.npz"
+        np.savez(os.path.join(d, fname), keys=keys, rows=rows, freqs=freqs)
+        meta["cold"][name] = {"file": fname, "row_floats": rows.shape[1]}
     with open(os.path.join(d, "meta.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(ckpt_dir, "checkpoint"), "w") as f:
@@ -302,15 +350,32 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def restore_checkpoint(ckpt_path: str, state_template, *,
-                       num_shards: int = 1):
+                       num_shards: int = 1, tiers=None):
     """Restore into a (possibly differently-sharded) state template.
 
     ``num_shards`` > 1 rebuilds each table's stacked [S, ...] layout by
     loading each shard's sub-partitions — elastic re-shard on restore.
+    ``tiers`` rebuilds each table's cold store from the checkpoint's cold
+    dump (tier-complete restore; pass the same mapping given to
+    ``save_checkpoint``).
     """
 
     with open(os.path.join(ckpt_path, "meta.json")) as f:
         meta = json.load(f)
+    for name, info in meta.get("cold", {}).items():
+        if tiers is None or name not in tiers:
+            raise ValueError(
+                f"checkpoint has a cold tier for table {name!r} but no "
+                "TieredTable was passed to restore it into — demoted rows "
+                "would be silently lost")
+        cold = np.load(os.path.join(ckpt_path, info["file"]))
+        tier = tiers[name]
+        if cold["rows"].shape[1] != tier.row_floats:
+            raise ValueError(
+                f"cold-tier row layout mismatch for {name!r}: checkpoint has "
+                f"{cold['rows'].shape[1]} floats/row, tier expects "
+                f"{tier.row_floats} (optimizer slot schema must match)")
+        tier.import_cold(cold["keys"], cold["rows"], cold["freqs"])
     dense = dict(np.load(os.path.join(ckpt_path, "dense.npz")))
     restored_dense = _unflatten_params(
         {"params": state_template.params,
