@@ -15,9 +15,11 @@ table pytree carries a leading shard dimension [S, ...] sharded over the
 axis; per-device code sees its local [C, ...] shard.
 
 Ragged all-to-all is handled with static per-destination capacity
-(``bucket capacity``, 2x the balanced load) — ids beyond capacity fall back
-to "missing" semantics (default value, no update) and are counted so the
-host can react, mirroring how the EV growth hint works.
+(``bucket capacity``, ``bucket_factor``x the balanced load) — ids beyond
+capacity fall back to "missing" semantics (default value, no update).  The
+overflow count is returned in the step metrics (``n_dropped``) and
+``DistributedTrainer`` reacts by widening ``bucket_factor`` and rebuilding
+the step — the all-to-all analogue of the EV growth hint.
 """
 
 from __future__ import annotations
@@ -47,10 +49,11 @@ def shard_of(keys: jnp.ndarray, num_shards: int) -> jnp.ndarray:
     return hashing.logical_partition(keys) % jnp.int32(num_shards)
 
 
-def bucket_capacity(n: int, num_shards: int) -> int:
-    """Static per-destination bucket size: 2x balanced load, 8-aligned."""
+def bucket_capacity(n: int, num_shards: int, factor: float = 2.0) -> int:
+    """Static per-destination bucket size: ``factor``x balanced load,
+    8-aligned.  Forward and backward exchanges must use the same factor."""
 
-    cap = 2 * -(-n // num_shards) + 8
+    cap = int(factor * -(-n // num_shards)) + 8
     return min(n, (cap + 7) // 8 * 8)
 
 
@@ -102,6 +105,7 @@ def sharded_lookup(
     *,
     step: jnp.ndarray | int = 0,
     train: bool = True,
+    bucket_factor: float = 2.0,
 ) -> Tuple[ev.EmbeddingTable, jnp.ndarray, ExchangeCtx]:
     """Model-parallel lookup executed per-device inside shard_map.
 
@@ -116,7 +120,7 @@ def sharded_lookup(
     empty = local_table.empty
     uids, counts, inverse = ev.unique_ids(ids, empty)
     valid = uids != empty
-    cap = bucket_capacity(uids.shape[0], num_shards)
+    cap = bucket_capacity(uids.shape[0], num_shards, bucket_factor)
 
     send_ids, send_counts, dest, pos, n_dropped = _bucketize(
         uids, counts, valid, num_shards, cap, empty
@@ -154,6 +158,7 @@ def sharded_apply(
     *,
     step: jnp.ndarray | int = 0,
     use_counts: bool = False,
+    bucket_factor: float = 2.0,
 ) -> ev.EmbeddingTable:
     """Reverse exchange: per-position grads → owner shards → sparse apply.
 
@@ -166,7 +171,7 @@ def sharded_apply(
     u = ctx.uids.shape[0]
     # per-unique grads: transpose of gathered_u[inverse]
     gu = jax.ops.segment_sum(grad, ctx.inverse, num_segments=u)
-    cap = bucket_capacity(u, num_shards)
+    cap = bucket_capacity(u, num_shards, bucket_factor)
     ok = (ctx.pos < cap)
     send = jnp.zeros((num_shards, cap, grad.shape[-1]), grad.dtype)
     send = send.at[

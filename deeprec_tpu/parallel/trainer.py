@@ -137,12 +137,26 @@ class DistributedTrainer:
     use_counts: bool = False
     per_shard_capacity: Optional[int] = None
     table_option: Any = None
+    # All-to-all bucket sizing (sharded.bucket_capacity): factor x the
+    # balanced per-destination load.  Ids past the bucket get missing
+    # semantics for that step; the overflow count is surfaced in the step
+    # metrics as ``n_dropped`` and, when ``widen_on_drop`` is set, the
+    # trainer doubles the factor and rebuilds the step so skewed key
+    # distributions self-heal instead of silently losing features.
+    bucket_factor: float = 2.0
+    widen_on_drop: bool = True
+    # How many steps of ``n_dropped`` scalars to batch before a host
+    # readback (keeps the drop check off the async-dispatch critical path).
+    drop_check_every: int = 16
+    log_fn: Any = print
 
     def __post_init__(self):
         self.compute_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
         self.plan = grp.plan_groups(self.model.table_specs)
         self.num_shards = self.mesh.shape[self.axis]
         self._train_step = None  # built lazily (needs state spec)
+        self._pending_drops = []
+        self.total_dropped = 0
 
     # -- state construction -------------------------------------------------
 
@@ -226,10 +240,12 @@ class DistributedTrainer:
                     off += n
             flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
             tbl, rows, ctx = sh.sharded_lookup(
-                tables[pname], flat, axis, step=state.step, train=train)
+                tables[pname], flat, axis, step=state.step, train=train,
+                bucket_factor=self.bucket_factor)
             tables[pname] = tbl
             ctxs[pname] = ctx
             looked[pname] = rows          # [N_flat, D] per-position rows
+        n_dropped = sum(ctx.n_dropped for ctx in ctxs.values())
 
         def loss_fn(params, looked):
             acts = {}
@@ -269,7 +285,8 @@ class DistributedTrainer:
         for pname, g in gl.items():
             tables[pname] = sh.sharded_apply(
                 tables[pname], ctxs[pname], g, self.sparse_optimizer, axis,
-                step=state.step, use_counts=self.use_counts)
+                step=state.step, use_counts=self.use_counts,
+                bucket_factor=self.bucket_factor)
 
         # replicated streaming AUC: accumulate global deltas
         delta = M.auc_update(M.AucState.create(), logits, plabels)
@@ -284,7 +301,9 @@ class DistributedTrainer:
             tables={n: relift(t) for n, t in tables.items()},
             step=state.step + 1, auc=auc,
         )
-        return new_state, lax.pmean(loss, axis)
+        metrics = {"loss": lax.pmean(loss, axis),
+                   "n_dropped": lax.psum(n_dropped, axis)}
+        return new_state, metrics
 
     # -- public API ---------------------------------------------------------
 
@@ -300,7 +319,8 @@ class DistributedTrainer:
 
         smap_train = jax.shard_map(
             train_body, mesh=self.mesh, in_specs=(sspec, bspec),
-            out_specs=(sspec, P()), check_vma=False)
+            out_specs=(sspec, {"loss": P(), "n_dropped": P()}),
+            check_vma=False)
         smap_eval = jax.shard_map(
             eval_body, mesh=self.mesh, in_specs=(sspec, bspec),
             out_specs=(P(self.axis), P()), check_vma=False)
@@ -311,7 +331,31 @@ class DistributedTrainer:
         batch = self._shard_batch(batch)
         if self._train_step is None:
             self._build_steps(state, batch)
-        return self._train_step(state, batch)
+        state, metrics = self._train_step(state, batch)
+        if self.widen_on_drop:
+            self._check_drops(metrics["n_dropped"])
+        return state, metrics
+
+    def _check_drops(self, n_dropped):
+        """Batch ``drop_check_every`` per-step drop counters before a host
+        readback; on any overflow, double the bucket factor and rebuild the
+        step (the all-to-all analogue of EV capacity growth)."""
+
+        self._pending_drops.append(n_dropped)
+        if len(self._pending_drops) < self.drop_check_every:
+            return
+        drops = int(sum(int(np.asarray(jax.device_get(d)))
+                        for d in self._pending_drops))
+        self._pending_drops = []
+        if drops == 0:
+            return
+        self.total_dropped += drops
+        self.bucket_factor *= 2.0
+        self._train_step = None  # rebuild with wider buckets
+        self.log_fn(
+            f"[deeprec_tpu] sharded exchange overflowed: {drops} ids got "
+            f"missing semantics; widening bucket_factor to "
+            f"{self.bucket_factor:g} and recompiling the step")
 
     def eval_step(self, state: TrainState, batch: Dict):
         batch = self._shard_batch(batch)

@@ -28,7 +28,8 @@ def main(steps=200, batch_size=2048):
     state = trainer.init_state(jax.random.PRNGKey(0))
     it = iter(SyntheticCriteo(batch_size=batch_size, seed=1))
     for i in range(steps):
-        state, loss = trainer.train_step(state, next(it))
+        state, m = trainer.train_step(state, next(it))
+        loss = m["loss"]
         if (i + 1) % 50 == 0:
             state = trainer.maybe_grow(state)
             print(f"step {i+1}: loss={float(loss):.4f}")

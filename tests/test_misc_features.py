@@ -133,8 +133,8 @@ def test_elastic_rescale_8_to_4():
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
                                rtol=1e-4, atol=1e-5)
     # continues training on the smaller mesh
-    state2, loss = tr2.train_step(state2, next(it))
-    assert np.isfinite(float(loss))
+    state2, m2 = tr2.train_step(state2, next(it))
+    assert np.isfinite(float(m2["loss"]))
 
 
 def test_bf16_table_storage():
