@@ -137,9 +137,7 @@ class TieredTable:
         return self.cold.compact()
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("slot_names", "slot_widths", "dim"))
-def _promote_jit(table, keys, rows, freqs, *, slot_names, slot_widths, dim):
+def _promote_body(table, keys, rows, freqs, *, slot_names, slot_widths, dim):
     valid = keys != table.empty
     new_keys, slots, inserted, _ = ev._find_or_insert(table.keys, keys,
                                                       valid, valid)
@@ -167,9 +165,13 @@ def _promote_jit(table, keys, rows, freqs, *, slot_names, slot_widths, dim):
         freqs=fr, size=table.size + jnp.sum(inserted).astype(jnp.int32))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "slot_names", "slot_widths", "dim"))
-def _demote_select(table, k, *, slot_names, slot_widths, dim):
+# jitted wrapper for the single-table path; the sharded path calls the raw
+# body inside shard_map (parallel/tiers.py).
+_promote_jit = jax.jit(
+    _promote_body, static_argnames=("slot_names", "slot_widths", "dim"))
+
+
+def _demote_select_body(table, k, *, slot_names, slot_widths, dim):
     """Pick the k lowest-frequency live slots; pack their rows."""
 
     live = table.keys != table.empty
@@ -189,3 +191,8 @@ def _demote_select(table, k, *, slot_names, slot_widths, dim):
     mask = jnp.zeros((table.capacity,), jnp.bool_).at[
         jnp.where(sel_live, idx, table.capacity)].set(True, mode="drop")
     return keys, rows, freqs, mask
+
+
+_demote_select = jax.jit(
+    _demote_select_body,
+    static_argnames=("k", "slot_names", "slot_widths", "dim"))

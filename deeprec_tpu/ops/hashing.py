@@ -72,3 +72,47 @@ def bucket(keys: jnp.ndarray, num_buckets: int, salt: int = 0) -> jnp.ndarray:
         return (h & jnp.uint32(num_buckets - 1)).astype(jnp.int32)
     # Lemire fast range reduction: (h * n) >> 32, without u64 via two u32 muls.
     return (h % jnp.uint32(num_buckets)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# numpy twins — bit-identical to the jnp versions, for host-side threads
+# (tier prefetch routing, checkpoint partitioning) that must not pay a
+# device dispatch per call.
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def hash_to_u32_np(keys, salt: int = 0):
+    np = _np()
+    keys = np.asarray(keys)
+    with np.errstate(over="ignore"):
+        if keys.dtype in (np.int64, np.uint64):
+            s64 = np.uint64((salt * 0x9E3779B97F4A7C15 + 1)
+                            & 0xFFFFFFFFFFFFFFFF)
+            x = keys.astype(np.uint64) ^ s64
+            x = x ^ (x >> np.uint64(30)); x = x * np.uint64(0xBF58476D1CE4E5B9)
+            x = x ^ (x >> np.uint64(27)); x = x * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+            return (x ^ (x >> np.uint64(32))).astype(np.uint32)
+        s32 = np.uint32((salt * 0x9E3779B9 + 1) & 0xFFFFFFFF)
+        x = keys.astype(np.uint32) ^ s32
+        x = x ^ (x >> np.uint32(16)); x = x * np.uint32(0x85EBCA6B)
+        x = x ^ (x >> np.uint32(13)); x = x * np.uint32(0xC2B2AE35)
+        x = x ^ (x >> np.uint32(16))
+        return x
+
+
+def bucket_np(keys, num_buckets: int, salt: int = 0):
+    np = _np()
+    h = hash_to_u32_np(keys, salt)
+    if num_buckets & (num_buckets - 1) == 0:
+        return (h & np.uint32(num_buckets - 1)).astype(np.int32)
+    return (h % np.uint32(num_buckets)).astype(np.int32)
+
+
+def logical_partition_np(keys):
+    return bucket_np(keys, SAVED_PARTITIONS, salt=PARTITION_SALT)

@@ -149,6 +149,10 @@ class DistributedTrainer:
     # readback (keeps the drop check off the async-dispatch critical path).
     drop_check_every: int = 16
     log_fn: Any = print
+    # Multi-tier storage on the mesh: {physical table name: ShardedTiers}.
+    # Cold rows are promoted per owner shard before each step; demotion
+    # replaces growth at the HBM watermark (parallel/tiers.py).
+    tiers: Any = None
 
     def __post_init__(self):
         self.compute_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
@@ -328,6 +332,8 @@ class DistributedTrainer:
         self._eval_step = jax.jit(smap_eval)
 
     def train_step(self, state: TrainState, batch: Dict):
+        if self.tiers:
+            state = self._promote_for_batch(state, batch)
         batch = self._shard_batch(batch)
         if self._train_step is None:
             self._build_steps(state, batch)
@@ -335,6 +341,24 @@ class DistributedTrainer:
         if self.widen_on_drop:
             self._check_drops(metrics["n_dropped"])
         return state, metrics
+
+    def _promote_for_batch(self, state: TrainState, batch: Dict,
+                           erase: bool = True) -> TrainState:
+        """Promote the batch's cold-resident rows into their owner shards
+        (payloads routed host-side by the same shard_of the lookup uses)."""
+
+        from deeprec_tpu.train.loop import host_group_keys
+
+        gk = host_group_keys(self.model, self.plan, batch,
+                             next(iter(state.tables.values())).empty)
+        tables = dict(state.tables)
+        changed = False
+        for pname, tier in self.tiers.items():
+            payload = tier.prepare(gk[pname], tables[pname].empty, erase=erase)
+            if payload is not None:
+                tables[pname] = tier.promote(tables[pname], payload)
+                changed = True
+        return state.replace(tables=tables) if changed else state
 
     def _check_drops(self, n_dropped):
         """Batch ``drop_check_every`` per-step drop counters before a host
@@ -358,6 +382,9 @@ class DistributedTrainer:
             f"{self.bucket_factor:g} and recompiling the step")
 
     def eval_step(self, state: TrainState, batch: Dict):
+        if self.tiers:
+            # read-through: transient copy-promotion, cold stores unchanged
+            state = self._promote_for_batch(state, batch, erase=False)
         batch = self._shard_batch(batch)
         if self._train_step is None:
             self._build_steps(state, batch)
@@ -372,6 +399,12 @@ class DistributedTrainer:
         tables = dict(state.tables)
         changed = False
         for n, t in tables.items():
+            if self.tiers and n in self.tiers:
+                # HBM budget fixed: demote cold rows per shard instead
+                if self.tiers[n].needs_demote(t):
+                    tables[n] = self.tiers[n].demote(t)
+                    changed = True
+                continue
             cap = t.keys.shape[1]
             max_size = int(np.max(jax.device_get(t.size)))
             hint = int(np.max(jax.device_get(t.growth_hint)))
