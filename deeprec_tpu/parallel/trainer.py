@@ -161,6 +161,10 @@ class DistributedTrainer:
         self._train_step = None  # built lazily (needs state spec)
         self._pending_drops = []
         self.total_dropped = 0
+        # serializes cold-store mutation (stager prepare vs demote re-sync)
+        import threading
+
+        self._tier_lock = threading.Lock()
 
     # -- state construction -------------------------------------------------
 
@@ -331,9 +335,11 @@ class DistributedTrainer:
         self._train_step = jax.jit(smap_train, donate_argnums=(0,))
         self._eval_step = jax.jit(smap_eval)
 
-    def train_step(self, state: TrainState, batch: Dict):
+    def train_step(self, state: TrainState, batch: Dict, payloads=None):
         if self.tiers:
-            state = self._promote_for_batch(state, batch)
+            if payloads is None:
+                payloads = [p] if (p := self.prepare_payloads(batch)) else []
+            state = self._apply_payloads(state, payloads)
         batch = self._shard_batch(batch)
         if self._train_step is None:
             self._build_steps(state, batch)
@@ -342,23 +348,41 @@ class DistributedTrainer:
             self._check_drops(metrics["n_dropped"])
         return state, metrics
 
-    def _promote_for_batch(self, state: TrainState, batch: Dict,
-                           erase: bool = True) -> TrainState:
-        """Promote the batch's cold-resident rows into their owner shards
-        (payloads routed host-side by the same shard_of the lookup uses)."""
+    def prepare_payloads(self, batch: Dict, erase: bool = True) -> Dict:
+        """Cold-store lookups routed per owner shard: {pname: payload}.
+        TierStager-compatible (same surface as Trainer.prepare_payloads)."""
 
+        return self._prepare_payloads_impl(batch, erase)
+
+    def _prepare_payloads_impl(self, batch: Dict, erase: bool) -> Dict:
         from deeprec_tpu.train.loop import host_group_keys
 
-        gk = host_group_keys(self.model, self.plan, batch,
-                             next(iter(state.tables.values())).empty)
-        tables = dict(state.tables)
-        changed = False
+        any_tier = next(iter(self.tiers.values()))
+        empty = int(jnp.iinfo(any_tier.key_np).min)
+        gk = host_group_keys(self.model, self.plan, batch, empty)
+        out = {}
         for pname, tier in self.tiers.items():
-            payload = tier.prepare(gk[pname], tables[pname].empty, erase=erase)
+            payload = tier.prepare(gk[pname], empty, erase=erase)
             if payload is not None:
-                tables[pname] = tier.promote(tables[pname], payload)
-                changed = True
-        return state.replace(tables=tables) if changed else state
+                out[pname] = payload
+        return out
+
+    def _apply_payloads(self, state: TrainState, payloads) -> TrainState:
+        if not payloads:
+            return state
+        tables = dict(state.tables)
+        for pl in payloads:
+            for pname, payload in pl.items():
+                tables[pname] = self.tiers[pname].promote(tables[pname],
+                                                          payload)
+        return state.replace(tables=tables)
+
+    def _promote_for_batch(self, state: TrainState, batch: Dict,
+                           erase: bool = True) -> TrainState:
+        """Inline promotion (eval read-through uses erase=False)."""
+
+        p = self._prepare_payloads_impl(batch, erase)
+        return self._apply_payloads(state, [p] if p else [])
 
     def _check_drops(self, n_dropped):
         """Batch ``drop_check_every`` per-step drop counters before a host
@@ -395,20 +419,23 @@ class DistributedTrainer:
             lambda _: NamedSharding(self.mesh, P(self.axis)), batch)
         return jax.device_put(batch, sharding)
 
-    def maybe_grow(self, state: TrainState) -> TrainState:
+    def maybe_grow(self, state: TrainState, stager=None) -> TrainState:
         tables = dict(state.tables)
         changed = False
-        for n, t in tables.items():
-            if self.tiers and n in self.tiers:
-                # HBM budget fixed: demote cold rows per shard instead
-                if self.tiers[n].needs_demote(t):
-                    tables[n] = self.tiers[n].demote(t)
+        with self._tier_lock:
+            for n, t in tables.items():
+                if self.tiers and n in self.tiers:
+                    # HBM budget fixed: demote cold rows per shard instead
+                    if self.tiers[n].needs_demote(t):
+                        tables[n] = self.tiers[n].demote(t)
+                        changed = True
+                    continue
+                cap = t.keys.shape[1]
+                max_size = int(np.max(jax.device_get(t.size)))
+                hint = int(np.max(jax.device_get(t.growth_hint)))
+                if max_size > t.option.max_load_factor * cap or hint > 0:
+                    tables[n] = grow_stacked(t, cap * 2)
                     changed = True
-                continue
-            cap = t.keys.shape[1]
-            max_size = int(np.max(jax.device_get(t.size)))
-            hint = int(np.max(jax.device_get(t.growth_hint)))
-            if max_size > t.option.max_load_factor * cap or hint > 0:
-                tables[n] = grow_stacked(t, cap * 2)
-                changed = True
+            if changed and stager is not None:
+                stager.resync_locked()
         return state.replace(tables=tables) if changed else state

@@ -127,6 +127,10 @@ class Trainer:
         # feature name -> logical table name (strip ":extra" suffix)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        # serializes cold-store mutation (stager prepare vs demote re-sync)
+        import threading
+
+        self._tier_lock = threading.Lock()
 
     def init_state(self, key) -> TrainState:
         params = self.model.init_params(key)
@@ -292,26 +296,49 @@ class Trainer:
 
     # -- host API -----------------------------------------------------------
 
-    def train_step(self, state: TrainState, batch: Dict):
+    def train_step(self, state: TrainState, batch: Dict, payloads=None):
+        """One training step.  ``payloads`` (from a TierStager) carries
+        pre-computed tier promotions; without it the promotion work runs
+        inline on the calling thread."""
+
         if self.tiers:
-            state = self._promote_for_batch(state, batch)
+            if payloads is None:
+                payloads = [p] if (p := self.prepare_payloads(batch)) else []
+            state = self._apply_payloads(state, payloads)
         return self._train_step(state, batch)
+
+    def prepare_payloads(self, batch: Dict, erase: bool = True) -> Dict:
+        """Cold-store lookups for this batch's ids: {pname: payload}.
+        Thread-safe vs the training step (touches only the host KVs); this
+        is the work the TierStager moves off the critical path."""
+
+        empty = next(iter(self.tables.values())).empty
+        gk = host_group_keys(self.model, self.plan, batch, empty)
+        out = {}
+        for pname, tier in self.tiers.items():
+            payload = tier.prepare(gk[pname], empty, erase=erase)
+            if payload is not None:
+                out[pname] = payload
+        return out
+
+    def _apply_payloads(self, state: TrainState, payloads) -> TrainState:
+        """Bulk-upsert prepared promotion payloads into the device tables."""
+
+        if not payloads:
+            return state
+        tables = dict(state.tables)
+        for pl in payloads:
+            for pname, payload in pl.items():
+                tables[pname] = self.tiers[pname].promote(tables[pname],
+                                                          payload)
+        return state.replace(tables=tables)
 
     def _promote_for_batch(self, state: TrainState, batch: Dict,
                            erase: bool = True) -> TrainState:
-        """Move the batch's cold-resident rows up to the device table (the
-        prefetch-promotion path; also callable from a staging thread)."""
+        """Inline promotion (eval read-through uses erase=False)."""
 
-        gk = host_group_keys(self.model, self.plan, batch,
-                             next(iter(state.tables.values())).empty)
-        tables = dict(state.tables)
-        changed = False
-        for pname, tier in self.tiers.items():
-            payload = tier.prepare(gk[pname], tables[pname].empty, erase=erase)
-            if payload is not None:
-                tables[pname] = tier.promote(tables[pname], payload)
-                changed = True
-        return state.replace(tables=tables) if changed else state
+        p = self.prepare_payloads(batch, erase=erase)
+        return self._apply_payloads(state, [p] if p else [])
 
     def eval_step(self, state: TrainState, batch: Dict):
         if self.tiers:
@@ -319,21 +346,25 @@ class Trainer:
             state = self._promote_for_batch(state, batch, erase=False)
         return self._eval_step(state, batch)
 
-    def maybe_grow(self, state: TrainState) -> TrainState:
+    def maybe_grow(self, state: TrainState, stager=None) -> TrainState:
         """Host-side dynamic growth check (between steps; triggers recompile
-        only when a capacity actually doubles)."""
+        only when a capacity actually doubles).  With tiers, demotion runs
+        under the tier lock and re-syncs any staged payloads atomically."""
 
         tables = dict(state.tables)
         changed = False
-        for n, t in tables.items():
-            if self.tiers and n in self.tiers:
-                # HBM budget is fixed: demote cold rows instead of growing
-                if self.tiers[n].needs_demote(t):
-                    tables[n] = self.tiers[n].demote(t)
+        with self._tier_lock:
+            for n, t in tables.items():
+                if self.tiers and n in self.tiers:
+                    # HBM budget is fixed: demote cold rows instead of growing
+                    if self.tiers[n].needs_demote(t):
+                        tables[n] = self.tiers[n].demote(t)
+                        changed = True
+                elif ev.needs_grow(t):
+                    tables[n] = ev.maybe_grow(t)
                     changed = True
-            elif ev.needs_grow(t):
-                tables[n] = ev.maybe_grow(t)
-                changed = True
+            if changed and stager is not None:
+                stager.resync_locked()
         return state.replace(tables=tables) if changed else state
 
     def fit(
@@ -352,13 +383,22 @@ class Trainer:
         # hooks see the GLOBAL step (state.step), not this fit()'s loop index —
         # checkpoint/delta numbering must be monotonic across fit calls.
         global_start = int(jax.device_get(state.step))
-        for i, batch in enumerate(data_iter):
+        stager = None
+        if self.tiers:
+            # stage promotion work for batch t+1 while step t executes
+            from deeprec_tpu.train.stager import TierStager
+
+            stager = TierStager(self, data_iter, max_steps=steps)
+            stream = ((b, pl) for b, pl in stager)
+        else:
+            stream = ((b, None) for b in data_iter)
+        for i, (batch, payloads) in enumerate(stream):
             if i >= steps:
                 break
-            state, m = self.train_step(state, batch)
+            state, m = self.train_step(state, batch, payloads=payloads)
             seen += len(batch["label"])
             if grow_every and (i + 1) % grow_every == 0:
-                state = self.maybe_grow(state)
+                state = self.maybe_grow(state, stager=stager)
             for h in hooks:
                 state = h.after_step(state, m, global_start + i)
             if log_every and (i + 1) % log_every == 0:

@@ -386,3 +386,44 @@ def test_hash_np_matches_jnp():
     np.testing.assert_array_equal(
         H.bucket_np(keys, 1024, salt=7),
         np.asarray(H.bucket(jnp.asarray(keys), 1024, salt=7)))
+
+
+def test_sharded_staged_tiering_matches_inline():
+    """TierStager over the DistributedTrainer: background-prepared payloads
+    with demote re-sync must match inline per-step promotion bit-for-bit."""
+
+    from deeprec_tpu.parallel.tiers import ShardedTiers
+    from deeprec_tpu.train.stager import TierStager
+
+    mesh = mesh8()
+    model = tiny_model(n_cols=2, emb_dim=4)
+    gen_it = iter(SyntheticCriteo(batch_size=128, num_ids_per_col=600, seed=5))
+    batches = [next(gen_it) for _ in range(12)]
+
+    def run(staged):
+        tr = DistributedTrainer(
+            model=model, mesh=mesh,
+            sparse_optimizer=sparse.adagrad(lr=0.05),
+            dense_tx=optax.adagrad(0.05), per_shard_capacity=64)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        tr.tiers = {n: ShardedTiers(t, mesh, "data",
+                                    hot_watermark=0.5, evict_fraction=0.5)
+                    for n, t in state.tables.items()}
+        if staged:
+            stager = TierStager(tr, iter(batches), max_steps=len(batches))
+            for i, (b, pl) in enumerate(stager):
+                state, _ = tr.train_step(state, b, payloads=pl)
+                if (i + 1) % 3 == 0:
+                    state = tr.maybe_grow(state, stager=stager)
+        else:
+            for i, b in enumerate(batches):
+                state, _ = tr.train_step(state, b)
+                if (i + 1) % 3 == 0:
+                    state = tr.maybe_grow(state)
+        assert any(t.cold_size > 0 for t in tr.tiers.values())
+        logits, _ = tr.eval_step(state, batches[0])
+        return np.asarray(logits)
+
+    want = run(False)
+    got = run(True)
+    np.testing.assert_array_equal(got, want)

@@ -176,3 +176,40 @@ def test_tiered_eval_cold_rows_read_default():
     assert len(cold_ids) > 0
     got = np.asarray(ev.lookup(t2, jnp.asarray(cold_ids, jnp.int32)))
     np.testing.assert_array_equal(got, 0.0)
+
+
+def test_staged_tiered_fit_matches_inline_stepping():
+    """Trainer.fit with the TierStager (promotion prepared on a background
+    thread, VERDICT r1 item 4) must produce exactly the state the inline
+    per-step promotion produces — including across demotions that
+    invalidate staged payloads."""
+
+    model = tiny_model(n_cols=2, emb_dim=4)
+    gen_it = iter(SyntheticCriteo(batch_size=128, num_ids_per_col=600, seed=3))
+    batches = [next(gen_it) for _ in range(12)]
+
+    def run(staged: bool):
+        tables = {n: ev.create(n, t.dim, option=t.option, capacity=256)
+                  for n, t in base.make_tables(model).items()}
+        o = sparse.adagrad(lr=0.05)
+        tables = {n: o.init(t) for n, t in tables.items()}
+        tiers = {n: TieredTable(t, evict_fraction=0.5, hot_watermark=0.5)
+                 for n, t in tables.items()}
+        tr = Trainer(model=model, tables=tables, sparse_optimizer=o,
+                     dense_tx=optax.adagrad(0.05), tiers=tiers)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        if staged:
+            state = tr.fit(state, iter(batches), len(batches),
+                           grow_every=3, log_every=0)
+        else:
+            for i, b in enumerate(batches):
+                state, _ = tr.train_step(state, b)
+                if (i + 1) % 3 == 0:
+                    state = tr.maybe_grow(state)
+        assert any(t.cold.size > 0 for t in tiers.values())
+        logits, _ = tr.eval_step(state, batches[0])
+        return np.asarray(logits)
+
+    want = run(False)
+    got = run(True)
+    np.testing.assert_array_equal(got, want)
