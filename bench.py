@@ -35,7 +35,7 @@ def main():
     BATCH = 2048
     N_BATCHES = 32
     WARMUP = 10
-    MEASURE = 200
+    MEASURE = 40
     BASELINE = 141266.06
 
     model = dlrm.MODEL
@@ -53,21 +53,33 @@ def main():
     rng = np.random.RandomState(7)
     batches = [jax.device_put(gen.sample(rng)) for _ in range(N_BATCHES)]
 
-    # Warmup: compile + settle table occupancy.
-    for i in range(WARMUP):
-        state, _ = trainer.train_step(state, batches[i % N_BATCHES])
-    jax.block_until_ready(state.step)
+    # Warmup: compile + settle table occupancy (every batch seen once).
+    m = None
+    for i in range(max(WARMUP, N_BATCHES)):
+        state, m = trainer.train_step(state, batches[i % N_BATCHES])
+    _ = float(m["loss"])  # value readback: drains the execution queue
 
-    # Best of 3 measurement windows (pipelined per-step dispatch; windows
-    # absorb host/dispatch jitter on shared machines).
-    value = 0.0
-    for w in range(3):
+    # HONEST timing: on this runtime `block_until_ready` can return before
+    # remote execution finishes, so naive windows measure dispatch, not
+    # compute (r1's numbers had exactly that artifact — see PERF.md).  We
+    # force a VALUE readback at each window boundary and take the slope
+    # between two window sizes, which cancels the readback round-trip.
+    def window(n):
+        nonlocal state
+        mm = None
         t0 = time.perf_counter()
-        for i in range(MEASURE):
-            state, _ = trainer.train_step(state, batches[i % N_BATCHES])
-        jax.block_until_ready(state.step)
-        dt = time.perf_counter() - t0
-        value = max(value, BATCH * MEASURE / dt)
+        for i in range(n):
+            state, mm = trainer.train_step(state, batches[i % N_BATCHES])
+        _ = float(mm["loss"])
+        return time.perf_counter() - t0
+
+    w1, w2 = MEASURE // 4, MEASURE
+    value = 0.0
+    for _ in range(2):
+        t1 = window(w1)
+        t2 = window(w2)
+        per_step = max((t2 - t1) / (w2 - w1), 1e-9)
+        value = max(value, BATCH / per_step)
     print(json.dumps({
         "metric": "dlrm_criteo_train_examples_per_sec_per_chip",
         "value": round(value, 1),

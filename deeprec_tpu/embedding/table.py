@@ -221,6 +221,13 @@ def _probe_slots(h0: jnp.ndarray, r: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return (h0 + off) & (capacity - 1)
 
 
+# Straight-line lookup rounds before falling back to the while_loop.  At
+# load factor <= 0.75 triangular probing resolves almost every id within a
+# few rounds; unrolled rounds are pure fused gathers with no control-flow
+# sync, so the common case never pays a loop iteration.
+UNROLL_PROBE = 4
+
+
 def _find_or_insert(
     keys: jnp.ndarray,
     ids: jnp.ndarray,
@@ -230,64 +237,105 @@ def _find_or_insert(
     """Batched deterministic lookup-or-insert.
 
     Returns (new_keys, slot_ids [U] int32 with C = not-found, inserted [U] bool,
-    n_failed [] int32).  ``ids`` must be unique (deduplicated by the caller);
-    intra-batch slot races are resolved deterministically by scatter-min on the
-    candidate's position, so the result is identical on every SPMD replica.
+    n_failed [] int32).  ``ids`` must be unique (deduplicated by the caller).
     Equivalent of LocklessHashMap::Lookup/Insert on CPU (cpu_hash_map_kv.h) and
     cuco::dynamic_map insert on GPU (gpu_hash_table.cu.cc:98).
+
+    Two phases, exploiting the open-addressing invariant that a present id
+    always appears BEFORE the first empty slot on its probe chain (the device
+    table has no tombstones — removals rebuild):
+
+      1. **Lookup** (the steady-state hot path): probe until hit or first
+         empty.  ``UNROLL_PROBE`` straight-line rounds + a while_loop for the
+         rare stragglers — no sorts, no claim machinery, and when every id
+         resolves in the unrolled rounds the loop body never executes.
+      2. **Insert** (only ids that missed and may insert): claim resolution
+         by stable sort over candidate slots — first id in each equal-slot
+         run wins, deterministic on every SPMD replica; losers continue
+         their probe chain.  When a batch inserts nothing (steady state),
+         this while_loop runs ZERO iterations.
     """
 
     capacity = keys.shape[0]
     n = ids.shape[0]
     h0 = hashing.bucket(ids, capacity).astype(jnp.int32)
     no_slot = jnp.int32(capacity)
-    idx = jnp.arange(n, dtype=jnp.int32)
+    emp = empty_key(keys.dtype)
 
-    def cond(state):
-        keys_, slots_, pending, inserted, r = state
-        return jnp.logical_and(r < MAX_PROBE, jnp.any(pending))
+    # -- phase 1: lookup ----------------------------------------------------
+    found_slot = jnp.full((n,), no_slot, jnp.int32)
+    empty_slot = jnp.full((n,), no_slot, jnp.int32)
+    empty_round = jnp.zeros((n,), jnp.int32)
+    done = ~valid
 
-    def body(state):
-        keys_, slots_, pending, inserted, r = state
+    def lookup_round(r, state):
+        found_slot, empty_slot, empty_round, done = state
         slot = _probe_slots(h0, r, capacity)
-        cur = keys_.at[slot].get(mode="fill", fill_value=0)
-        hit = pending & (cur == ids)
-        slots_ = jnp.where(hit, slot, slots_)
-        pending = pending & ~hit
+        cur = keys.at[slot].get(mode="fill", fill_value=0)
+        hit = ~done & (cur == ids)
+        found_slot = jnp.where(hit, slot, found_slot)
+        stop = ~done & (cur == emp)
+        empty_slot = jnp.where(stop, slot, empty_slot)
+        empty_round = jnp.where(stop, r, empty_round)
+        done = done | hit | stop
+        return found_slot, empty_slot, empty_round, done
 
-        is_empty_slot = cur == empty_key(keys_.dtype)
-        wants = pending & is_empty_slot & may_insert
-        # Deterministic claim without touching O(capacity) memory: stable-sort
-        # candidate slots; the first id in each equal-slot run wins.  Cost is
-        # O(U log U) per round regardless of table size (the scatter-min
-        # alternative writes an O(C) claim array every round — at 2^21 slots
-        # that is 8 MB of HBM traffic per probe round).
-        skey = jnp.where(wants, slot, no_slot)
+    state = (found_slot, empty_slot, empty_round, done)
+    for r in range(UNROLL_PROBE):
+        state = lookup_round(jnp.int32(r), state)
+
+    def lk_cond(carry):
+        r, state = carry
+        return jnp.logical_and(r < MAX_PROBE, ~jnp.all(state[3]))
+
+    def lk_body(carry):
+        r, state = carry
+        return r + 1, lookup_round(r, state)
+
+    _, state = jax.lax.while_loop(
+        lk_cond, lk_body, (jnp.int32(UNROLL_PROBE), state))
+    found_slot, empty_slot, empty_round, done = state
+
+    # -- phase 2: insert ----------------------------------------------------
+    # Pending: valid ids that missed, want insertion, and saw an empty slot
+    # (ids that exhausted MAX_PROBE without an empty have empty_slot ==
+    # no_slot and count as failed).
+    missed = valid & (found_slot == no_slot)
+    pending = missed & may_insert & (empty_slot < no_slot)
+
+    def ins_cond(carry):
+        keys_, slots_, pending, inserted, r_i, rounds = carry
+        return jnp.logical_and(rounds < MAX_PROBE, jnp.any(pending))
+
+    def ins_body(carry):
+        keys_, slots_, pending, inserted, r_i, rounds = carry
+        slot = jnp.where(pending, _probe_slots(h0, r_i, capacity), no_slot)
+        cur = keys_.at[slot].get(mode="fill", fill_value=0)
+        is_empty = pending & (cur == emp)
+        # Deterministic claims: stable-sort candidate slots, first id in
+        # each equal-slot run wins.  O(U log U), no O(capacity) traffic.
+        skey = jnp.where(is_empty, slot, no_slot)
         order = jnp.argsort(skey, stable=True)
         ss = skey[order]
         first_in_run = jnp.concatenate(
-            [jnp.ones((1,), jnp.bool_), ss[1:] != ss[:-1]]
-        )
+            [jnp.ones((1,), jnp.bool_), ss[1:] != ss[:-1]])
         winner_sorted = first_in_run & (ss < no_slot)
-        won = jnp.zeros_like(wants).at[order].set(winner_sorted)
+        won = jnp.zeros_like(pending).at[order].set(winner_sorted)
         keys_ = keys_.at[jnp.where(won, slot, no_slot)].set(ids, mode="drop")
         slots_ = jnp.where(won, slot, slots_)
         inserted = inserted | won
         pending = pending & ~won
-        # Lookup-only ids stopping at an empty slot are resolved as not-found.
-        done_missing = pending & is_empty_slot & ~may_insert
-        pending = pending & ~done_missing
-        return keys_, slots_, pending, inserted, r + 1
+        # losers and occupied-slot probes advance along their chain
+        r_i = jnp.where(pending, r_i + 1, r_i)
+        return keys_, slots_, pending, inserted, r_i, rounds + 1
 
-    init = (
-        keys,
-        jnp.full((n,), no_slot, jnp.int32),
-        valid,
-        jnp.zeros((n,), jnp.bool_),
-        jnp.int32(0),
-    )
-    keys, slots_out, pending, inserted, _ = jax.lax.while_loop(cond, body, init)
-    n_failed = jnp.sum(pending & may_insert).astype(jnp.int32)
+    init = (keys, found_slot, pending, jnp.zeros((n,), jnp.bool_),
+            empty_round, jnp.int32(0))
+    keys, slots_out, pending, inserted, _, _ = jax.lax.while_loop(
+        ins_cond, ins_body, init)
+    n_failed = jnp.sum(
+        (missed & may_insert & (empty_slot == no_slot)) | pending
+    ).astype(jnp.int32)
     return keys, slots_out, inserted, n_failed
 
 
@@ -400,24 +448,38 @@ def _lookup_phase(
     growth_hint = table.growth_hint
 
     if train:
-        # Initialize freshly inserted rows from the deterministic default pool:
-        # stable per-key init across restarts/shards (InitializerOption
-        # default_value_dim, variables.py:180).
-        dvd = table.default_rows.shape[0]
-        row_sel = hashing.bucket(uids, dvd, salt=7)
-        init_rows = table.default_rows[row_sel]
-        ins_slot = jnp.where(inserted, slot_ids, no_slot)
-        values = values.at[ins_slot].set(init_rows, mode="drop")
-        # Reset recycled rows' optimizer slots to their init value: rebuilds
-        # zero-fill dead rows, and a fresh key must not inherit that zero
-        # (adagrad rsqrt(0) = inf -> NaN on the first zero-gradient apply).
-        slot_arrays = dict(table.slots)
-        for sname, sinit in table.slot_inits:
-            slot_arrays[sname] = slot_arrays[sname].at[ins_slot].set(
-                jnp.asarray(sinit, table.value_dtype), mode="drop")
-        if versions is not None:
-            versions = versions.at[ins_slot].set(step, mode="drop")
-        size = size + jnp.sum(inserted).astype(jnp.int32)
+        # Initialize freshly inserted rows from the deterministic default
+        # pool: stable per-key init across restarts/shards (InitializerOption
+        # default_value_dim, variables.py:180).  The whole block is gated on
+        # "did anything insert": row scatters on a multi-million-row table
+        # cost milliseconds on TPU even when every index is dropped, and in
+        # steady state (all ids known) a batch inserts nothing — the cond
+        # skips them entirely (measured: ~11 ms/step on v5e at 53k ids x
+        # 4.2M rows).
+        n_inserted = jnp.sum(inserted).astype(jnp.int32)
+
+        def do_insert(operands):
+            values, slot_arrays, versions = operands
+            dvd = table.default_rows.shape[0]
+            row_sel = hashing.bucket(uids, dvd, salt=7)
+            init_rows = table.default_rows[row_sel]
+            ins_slot = jnp.where(inserted, slot_ids, no_slot)
+            values = values.at[ins_slot].set(init_rows, mode="drop")
+            # Reset recycled rows' optimizer slots to their init value:
+            # rebuilds zero-fill dead rows, and a fresh key must not inherit
+            # that zero (adagrad rsqrt(0) = inf -> NaN on first apply).
+            slot_arrays = dict(slot_arrays)
+            for sname, sinit in table.slot_inits:
+                slot_arrays[sname] = slot_arrays[sname].at[ins_slot].set(
+                    jnp.asarray(sinit, table.value_dtype), mode="drop")
+            if versions is not None:
+                versions = versions.at[ins_slot].set(step, mode="drop")
+            return values, slot_arrays, versions
+
+        values, slot_arrays, versions = jax.lax.cond(
+            n_inserted > 0, do_insert, lambda ops: ops,
+            (values, dict(table.slots), versions))
+        size = size + n_inserted
         growth_hint = growth_hint + n_failed
 
         if freqs is not None:

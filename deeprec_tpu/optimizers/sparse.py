@@ -62,6 +62,7 @@ class SparseOptimizer:
         *,
         step: jnp.ndarray | int = 0,
         use_counts: bool = False,
+        params_rows: Optional[jnp.ndarray] = None,
     ) -> ev.EmbeddingTable:
         """Apply deduplicated sparse gradients [U, D] to the table.
 
@@ -69,10 +70,16 @@ class SparseOptimizer:
         ``lk.admitted`` is False are skipped entirely (no slot update, no
         version bump) — matching the filter-gated sparse-apply
         (training_ali_ops.cc:143-160).
+
+        ``params_rows`` ([U, D]) lets the caller pass the rows already
+        gathered by ``collect`` for this Lookup, skipping a second random-row
+        gather (~1.2 ms at 53k rows on v5e).  Rows whose update is skipped
+        may hold any value (they are never written back).
         """
 
         return _apply_jit(
             table, lk, grad, jnp.asarray(step, jnp.int32), dict(self.hyper),
+            params_rows,
             update=self.update, slot_names=self.slot_names,
             use_counts=use_counts,
         )
@@ -81,13 +88,16 @@ class SparseOptimizer:
 @functools.partial(
     jax.jit, static_argnames=("update", "slot_names", "use_counts")
 )
-def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names, use_counts):
+def _apply_jit(table, lk, grad, step, hyper, params_rows, *,
+               update, slot_names, use_counts):
     ok = lk.valid & lk.admitted & (lk.slot_ids < table.capacity)
     no_slot = jnp.int32(table.capacity)
     dst = jnp.where(ok, lk.slot_ids, no_slot)
     grad = grad.astype(table.value_dtype)
 
-    params = table.values.at[dst].get(mode="fill", fill_value=0)
+    params = (params_rows.astype(table.value_dtype)
+              if params_rows is not None
+              else table.values.at[dst].get(mode="fill", fill_value=0))
     slot_vals = {
         n: table.slots[n].at[dst].get(mode="fill", fill_value=0)
         for n in slot_names

@@ -66,6 +66,8 @@ class ExchangeCtx(struct.PyTreeNode):
     dest: jnp.ndarray        # [U] owner shard
     pos: jnp.ndarray         # [U] slot within the send bucket (or CAP = dropped)
     owner_lk: ev.Lookup      # owner-side Lookup over the received [S*CAP] ids
+    owner_rows: jnp.ndarray  # [U_owner, D] rows gathered at the owner (reused
+                             # by the sparse apply to skip a second gather)
     n_dropped: jnp.ndarray   # [] int32 overflowed ids (missing semantics)
 
 
@@ -145,7 +147,8 @@ def sharded_lookup(
     ok = valid & (pos < cap)
     gathered_u = jnp.where(ok[:, None], gathered_u, 0.0)
     ctx = ExchangeCtx(uids=uids, counts=counts, inverse=inverse, dest=dest,
-                      pos=pos, owner_lk=lk, n_dropped=n_dropped)
+                      pos=pos, owner_lk=lk, owner_rows=rows,
+                      n_dropped=n_dropped)
     return new_table, gathered_u[inverse], ctx
 
 
@@ -184,4 +187,4 @@ def sharded_apply(
     g_owner = jax.ops.segment_sum(g_flat, lk.inverse,
                                   num_segments=lk.uids.shape[0])
     return optimizer.apply(local_table, lk, g_owner, step=step,
-                           use_counts=use_counts)
+                           use_counts=use_counts, params_rows=ctx.owner_rows)

@@ -229,6 +229,7 @@ class Trainer:
             tables[pname] = self.sparse_optimizer.apply(
                 tables[pname], lks[pname], g,
                 step=state.step, use_counts=self.use_counts,
+                params_rows=gathered[pname],
             )
         auc = M.auc_update(state.auc, logits, plabels)
         new_state = state.replace(
@@ -270,7 +271,8 @@ class Trainer:
                 tables = dict(tables)
                 tables[pname] = self.sparse_optimizer.apply(
                     tables[pname], lks[pname], g,
-                    step=state.step, use_counts=self.use_counts)
+                    step=state.step, use_counts=self.use_counts,
+                    params_rows=gathered[pname])
             auc = M.auc_update(auc, logits, plabels)
         gp = jax.tree.map(lambda x: x / m, dense_acc)
         updates, opt_state = self.dense_tx.update(gp, state.opt_state,
@@ -280,6 +282,29 @@ class Trainer:
             params=params, opt_state=opt_state, tables=tables,
             step=state.step + 1, auc=auc)
         return new_state, {"loss": loss_acc / m}
+
+    def make_multi_step(self, k: int):
+        """Compile a fused K-step trainer: ``fn(state, stacked_batch)`` runs
+        K training steps in ONE dispatch via ``lax.scan`` and returns
+        ``(state, losses[K])``.
+
+        Per-step dispatch through the runtime costs ~100+ us of host work —
+        ~7x the 2048-batch device step itself (benchmarks/dispatch_probe.py:
+        156 us/step dispatched vs 19 us/step fused on v5e).  Production
+        loops should dispatch in K-step chunks whenever per-step host
+        interaction (tier promotion, per-step hooks) isn't needed; growth
+        checks still run between chunks.  ``stacked_batch`` leaves carry a
+        leading [K] axis (stack K batches).
+        """
+
+        def scan_body(state, batch):
+            state, m = self._train_step_impl(state, batch)
+            return state, m["loss"]
+
+        def multi(state, stacked):
+            return jax.lax.scan(scan_body, state, stacked)
+
+        return jax.jit(multi, donate_argnums=(0,))
 
     def _eval_step_impl(self, state: TrainState, batch: Dict):
         model = self.model
@@ -377,7 +402,18 @@ class Trainer:
         log_every: int = 100,
         log_fn: Callable = print,
         hooks=(),
+        steps_per_dispatch: int = 1,
     ) -> TrainState:
+        if steps_per_dispatch > 1:
+            if self.tiers:
+                raise ValueError(
+                    "steps_per_dispatch > 1 needs per-step host promotion "
+                    "disabled — tiered tables promote between steps")
+            return self._fit_fused(state, data_iter, steps,
+                                   k=steps_per_dispatch,
+                                   grow_every=grow_every,
+                                   log_every=log_every, log_fn=log_fn,
+                                   hooks=hooks)
         t0 = time.time()
         seen = 0
         # hooks see the GLOBAL step (state.step), not this fit()'s loop index —
@@ -408,6 +444,55 @@ class Trainer:
                     f"auc={M.auc_value(state.auc):.4f} "
                     f"ex/s={seen/dt:,.0f}"
                 )
+        for h in hooks:
+            state = h.end(state)
+        return state
+
+    def _fit_fused(self, state: TrainState, data_iter, steps: int, *, k: int,
+                   grow_every: int, log_every: int, log_fn: Callable,
+                   hooks=()) -> TrainState:
+        """K-steps-per-dispatch fit: stacks K batches and scans.  Hooks fire
+        once per chunk (with the chunk's last step index and mean loss);
+        growth checks run between chunks."""
+
+        import numpy as np
+
+        multi = self.make_multi_step(k)
+        t0 = time.time()
+        seen = 0
+        done = 0
+        global_start = int(jax.device_get(state.step))
+        it = iter(data_iter)
+        while done < steps:
+            chunk = []
+            try:
+                for _ in range(min(k, steps - done)):
+                    chunk.append(next(it))
+            except StopIteration:
+                pass
+            if not chunk:
+                break
+            if len(chunk) < k:      # ragged tail: plain per-step path
+                for b in chunk:
+                    state, m = self._train_step(state, b)
+                losses = m["loss"][None]
+            else:
+                stacked = jax.tree.map(lambda *xs: np.stack(xs), *chunk)
+                state, losses = multi(state, stacked)
+            done += len(chunk)
+            seen += sum(len(b["label"]) for b in chunk)
+            if grow_every and (done // max(grow_every, 1)) != \
+                    ((done - len(chunk)) // max(grow_every, 1)):
+                state = self.maybe_grow(state)
+            m = {"loss": jnp.mean(losses)}
+            for h in hooks:
+                state = h.after_step(state, m, global_start + done - 1)
+            if log_every and (done // max(log_every, 1)) != \
+                    ((done - len(chunk)) // max(log_every, 1)):
+                dt = time.time() - t0
+                log_fn(
+                    f"step {done}: loss={float(m['loss']):.4f} "
+                    f"auc={M.auc_value(state.auc):.4f} ex/s={seen/dt:,.0f}")
         for h in hooks:
             state = h.end(state)
         return state

@@ -155,3 +155,54 @@ def test_weighted_sparse_combine():
     out_sqrtn = lkp.combine(g, lk.inverse, feat, t.empty, cfg.Combiner.SQRTN)
     np.testing.assert_allclose(np.asarray(out_sqrtn[1]),
                                np.full(4, 4.0 / 4.0), rtol=1e-6)
+
+
+def test_fused_multi_step_matches_per_step():
+    """make_multi_step (K steps per dispatch, the production loop shape)
+    must be bit-identical to K separate train_step dispatches."""
+
+    import jax.numpy as jnp
+
+    model = tiny_model(n_cols=2)
+    gen_it = iter(SyntheticCriteo(batch_size=128, num_ids_per_col=400, seed=8))
+    batches = [next(gen_it) for _ in range(8)]
+
+    def build():
+        tables = base.make_tables(model)
+        tr = Trainer(model=model, tables=tables,
+                     sparse_optimizer=sparse.adagrad(lr=0.05),
+                     dense_tx=optax.adagrad(0.05))
+        return tr, tr.init_state(jax.random.PRNGKey(0))
+
+    tr1, s1 = build()
+    for b in batches:
+        s1, m = tr1.train_step(s1, b)
+
+    tr2, s2 = build()
+    multi = tr2.make_multi_step(4)
+    for i in range(2):
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches[i*4:(i+1)*4])
+        s2, losses = multi(s2, stacked)
+        assert losses.shape == (4,)
+
+    b = batches[0]
+    l1, _ = tr1.eval_step(s1, b)
+    l2, _ = tr2.eval_step(s2, b)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert int(s1.step) == int(s2.step) == 8
+
+
+def test_fit_fused_dispatch():
+    """fit(steps_per_dispatch=K) trains and learns like plain fit."""
+
+    model = tiny_model()
+    tables = base.make_tables(model)
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state = tr.fit(state, SyntheticCriteo(batch_size=512, seed=3), 60,
+                   steps_per_dispatch=4, log_every=0)
+    assert int(state.step) == 60
+    m = tr.evaluate(state, SyntheticCriteo(batch_size=512, seed=9), 10)
+    assert m["auc"] > 0.6, m
