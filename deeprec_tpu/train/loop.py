@@ -191,13 +191,16 @@ class Trainer:
             lname = fname.split(":")[0]
             spec = self.model.table_specs[lname]
             pname, (off, n) = handles[fname]
-            inverse = jax.lax.dynamic_slice_in_dim(lks[pname].inverse, off, n)
-            g = gathered[pname].astype(self.compute_dtype)
+            # rows are per-position (engine v2): this feature's rows are a
+            # contiguous slice of the group's gathered block
+            rows = jax.lax.dynamic_slice_in_dim(gathered[pname], off, n)
+            rows = rows.astype(self.compute_dtype)
             empty = tables[pname].empty
             if feat.ids.ndim >= 2:
-                acts[fname] = lkp.sequence_embedding(g, inverse, feat, empty)
+                acts[fname] = lkp.sequence_embedding(rows, None, feat, empty)
             else:
-                acts[fname] = lkp.combine(g, inverse, feat, empty, spec.combiner)
+                acts[fname] = lkp.combine(rows, None, feat, empty,
+                                          spec.combiner)
         return acts
 
     # -- jitted bodies ------------------------------------------------------
@@ -229,7 +232,6 @@ class Trainer:
             tables[pname] = self.sparse_optimizer.apply(
                 tables[pname], lks[pname], g,
                 step=state.step, use_counts=self.use_counts,
-                params_rows=gathered[pname],
             )
         auc = M.auc_update(state.auc, logits, plabels)
         new_state = state.replace(
@@ -271,8 +273,7 @@ class Trainer:
                 tables = dict(tables)
                 tables[pname] = self.sparse_optimizer.apply(
                     tables[pname], lks[pname], g,
-                    step=state.step, use_counts=self.use_counts,
-                    params_rows=gathered[pname])
+                    step=state.step, use_counts=self.use_counts)
             auc = M.auc_update(auc, logits, plabels)
         gp = jax.tree.map(lambda x: x / m, dense_acc)
         updates, opt_state = self.dense_tx.update(gp, state.opt_state,

@@ -160,7 +160,8 @@ def test_with_counts_scales_freq():
 
     def spy_update(p, s, g, ctx):
         # write the received count into the row so the test can observe it
-        return jnp.broadcast_to(ctx["counts"][:, None], p.shape), {}
+        # (engine v2: ctx["counts"] is the per-slot [C, 1] count plane)
+        return jnp.broadcast_to(ctx["counts"], p.shape), {}
 
     o = sparse.SparseOptimizer(
         name="spy", slot_names=(), slot_widths=(), slot_inits=(),
