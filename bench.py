@@ -39,7 +39,9 @@ def main():
     BASELINE = 141266.06
 
     model = dlrm.MODEL
-    tables = base.make_tables(model, capacity=2 ** 22)
+    # EV semantics: tables start small and GROW to the live id set (the
+    # reference's hash map does the same) — warmup below runs maybe_grow.
+    tables = base.make_tables(model, capacity=2 ** 16)
     trainer = Trainer(
         model=model,
         tables=tables,
@@ -53,10 +55,12 @@ def main():
     rng = np.random.RandomState(7)
     batches = [jax.device_put(gen.sample(rng)) for _ in range(N_BATCHES)]
 
-    # Warmup: compile + settle table occupancy (every batch seen once).
+    # Warmup: compile + settle table occupancy and capacity (every batch
+    # seen once; dynamic growth doubles capacity until the live set fits).
     m = None
     for i in range(max(WARMUP, N_BATCHES)):
         state, m = trainer.train_step(state, batches[i % N_BATCHES])
+        state = trainer.maybe_grow(state)
     _ = float(m["loss"])  # value readback: drains the execution queue
 
     # HONEST timing: on this runtime `block_until_ready` can return before

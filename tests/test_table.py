@@ -226,3 +226,4 @@ def test_recycled_slot_rows_reinitialized():
     t = o.apply(t, lk, jnp.zeros((lk.uids.shape[0], 4)), step=1)
     emb = ev.lookup(t, jnp.arange(100, 130, dtype=jnp.int32))
     assert bool(jnp.all(jnp.isfinite(emb)))
+
