@@ -39,6 +39,10 @@ class TrainState(struct.PyTreeNode):
     tables: Dict[str, ev.EmbeddingTable]
     step: jnp.ndarray
     auc: M.AucState
+    # Delayed-gradient FIFO (Trainer(staleness=k)): {physical table:
+    # ((Lookup, grad), ... k entries)}, oldest first.  None when staleness=0
+    # or before the first step primes it.
+    pending: Any = None
 
 
 def _bce(logits, labels):
@@ -120,8 +124,21 @@ class Trainer:
     # peak activation memory per doubling.  Sparse applies run per
     # micro-batch (async-PS-equivalent semantics).
     micro_batch_num: int = 1
+    # Bounded-staleness delayed-gradient mode (the async-PS / async-embedding
+    # -stage capability, config.proto:328; modelzoo train.py:920-936 default
+    # async mode): sparse gradients computed at step t are applied at step
+    # t+k via a device-resident FIFO in TrainState.pending.  This breaks the
+    # lookup -> grad -> apply serial chain within a step, letting XLA overlap
+    # the (stale) table update with the next forward — the same
+    # throughput-for-staleness trade the reference makes, with staleness
+    # bounded at exactly k steps instead of unbounded.  Dense params stay
+    # synchronous.  Growth/demotion events drop the in-flight window (<= k
+    # steps of sparse grads), mirroring async-PS update loss on repartition.
+    staleness: int = 0
 
     def __post_init__(self):
+        if self.staleness and self.micro_batch_num > 1:
+            raise ValueError("staleness and micro_batch_num>1 are exclusive")
         self.compute_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
         self.plan = grp.plan_groups(self.model.table_specs)
         # feature name -> logical table name (strip ":extra" suffix)
@@ -228,17 +245,64 @@ class Trainer:
 
         updates, opt_state = self.dense_tx.update(gp, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        for pname, g in gg.items():
-            tables[pname] = self.sparse_optimizer.apply(
-                tables[pname], lks[pname], g,
-                step=state.step, use_counts=self.use_counts,
-            )
+        pending = state.pending
+        if self.staleness > 0:
+            # delayed apply: push (lk_t, g_t), pop and apply (lk_{t-k}, g_{t-k})
+            pending = dict(pending)
+            for pname, g in gg.items():
+                fifo = pending[pname]
+                old_lk, old_g = fifo[0]
+                pending[pname] = tuple(fifo[1:]) + ((lks[pname], g),)
+                tables[pname] = self.sparse_optimizer.apply(
+                    tables[pname], old_lk, old_g,
+                    step=state.step, use_counts=self.use_counts,
+                )
+        else:
+            for pname, g in gg.items():
+                tables[pname] = self.sparse_optimizer.apply(
+                    tables[pname], lks[pname], g,
+                    step=state.step, use_counts=self.use_counts,
+                )
         auc = M.auc_update(state.auc, logits, plabels)
         new_state = state.replace(
             params=params, opt_state=opt_state, tables=tables,
-            step=state.step + 1, auc=auc,
+            step=state.step + 1, auc=auc, pending=pending,
         )
         return new_state, {"loss": loss}
+
+    def _zero_pending(self, batch: Dict):
+        """Build the staleness FIFO primed with no-op entries (valid=False
+        everywhere -> the masked apply touches nothing) whose shapes match
+        what ``_grouped_lookup`` will produce for batches shaped like
+        ``batch``."""
+
+        import numpy as np
+
+        pending = {}
+        for pname, pspec in self.plan.physical.items():
+            n = 0
+            for lname, _ in pspec.members:
+                spec = self.model.table_specs[lname]
+                cols = [spec.feature or lname] + list(spec.shared_features)
+                for col in cols:
+                    shape = np.shape(batch["cat"][col])
+                    n += int(np.prod(shape)) if shape else 1
+            t = self.tables[pname]
+
+            def entry():  # distinct buffers per FIFO slot (state is donated)
+                lk = ev.Lookup(
+                    uids=jnp.full((n,), t.empty, t.key_dtype),
+                    counts=jnp.zeros((n,), jnp.int32),
+                    inverse=jnp.arange(n, dtype=jnp.int32),
+                    slot_ids=jnp.full((n,), jnp.iinfo(jnp.int32).max,
+                                      jnp.int32),
+                    admitted=jnp.zeros((n,), bool),
+                    valid=jnp.zeros((n,), bool),
+                )
+                return lk, jnp.zeros((n, t.dim), t.value_dtype)
+
+            pending[pname] = tuple(entry() for _ in range(self.staleness))
+        return pending
 
     def _micro_batch_step(self, state: TrainState, batch: Dict):
         m = self.micro_batch_num
@@ -327,6 +391,8 @@ class Trainer:
         pre-computed tier promotions; without it the promotion work runs
         inline on the calling thread."""
 
+        if self.staleness and state.pending is None:
+            state = state.replace(pending=self._zero_pending(batch))
         if self.tiers:
             if payloads is None:
                 payloads = [p] if (p := self.prepare_payloads(batch)) else []
@@ -391,7 +457,12 @@ class Trainer:
                     changed = True
             if changed and stager is not None:
                 stager.resync_locked()
-        return state.replace(tables=tables) if changed else state
+        if not changed:
+            return state
+        # capacity changes relocate slots — drop the in-flight grad window
+        # (re-primed on the next step; bounded-staleness semantics allow it)
+        return state.replace(tables=tables,
+                             pending=None if self.staleness else state.pending)
 
     def fit(
         self,
@@ -473,6 +544,8 @@ class Trainer:
                 pass
             if not chunk:
                 break
+            if self.staleness and state.pending is None:
+                state = state.replace(pending=self._zero_pending(chunk[0]))
             if len(chunk) < k:      # ragged tail: plain per-step path
                 for b in chunk:
                     state, m = self._train_step(state, b)

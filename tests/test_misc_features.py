@@ -168,3 +168,76 @@ def test_feature_stores():
     assert found.tolist() == [True, False]
     with pytest.raises(ImportError, match="redis"):
         RedisFeatureStore()
+
+
+# ---------------------------------------------------------------------------
+# Delayed-gradient (bounded staleness) mode — the async-PS / async-embedding
+# -stage capability (config.proto:328).
+
+
+def _stale_trainer(model, k):
+    tables = base.make_tables(model)
+    return Trainer(model=model, tables=tables,
+                   sparse_optimizer=sparse.adagrad(lr=0.05),
+                   dense_tx=optax.adagrad(0.05), staleness=k)
+
+
+def test_staleness_delays_sparse_apply_by_k():
+    """With staleness=k and a constant batch + frozen dense params, the
+    sparse update landing at step k+1 is exactly the gradient computed at
+    step 0 (delayed-apply semantics; lookup-time inserts are unaffected)."""
+
+    model = tiny_model(n_cols=2)
+    gen = SyntheticCriteo(batch_size=64, num_ids_per_col=100, seed=3)
+    batch = next(iter(gen))
+
+    def run(k, steps, lr=0.05):
+        tables = base.make_tables(model)
+        tr = Trainer(model=model, tables=tables,
+                     sparse_optimizer=sparse.adagrad(lr=lr),
+                     dense_tx=optax.sgd(0.0), staleness=k)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        for _ in range(steps):
+            state, _ = tr.train_step(state, batch)
+        return state
+
+    # within the first k steps nothing is applied: values equal a run whose
+    # apply is a no-op (inserts + default-value init still happen)
+    s_stale = run(k=2, steps=2)
+    s_noop = run(k=0, steps=2, lr=0.0)
+    for n in s_stale.tables:
+        np.testing.assert_allclose(np.asarray(s_stale.tables[n].values),
+                                   np.asarray(s_noop.tables[n].values))
+    # at step k+1 exactly the step-0 gradient lands: both runs computed it
+    # against the freshly-initialized table, so values match a 1-step sync run
+    s_stale = run(k=2, steps=3)
+    s_sync1 = run(k=0, steps=1)
+    for n in s_stale.tables:
+        np.testing.assert_allclose(np.asarray(s_stale.tables[n].values),
+                                   np.asarray(s_sync1.tables[n].values),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_staleness_still_learns():
+    model = tiny_model(n_cols=2)
+    tr = _stale_trainer(model, k=2)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=512, num_ids_per_col=2000, seed=1)
+    state = tr.fit(state, iter(gen), steps=120, log_every=0)
+    eval_gen = SyntheticCriteo(batch_size=512, num_ids_per_col=2000, seed=99)
+    m = tr.evaluate(state, iter(eval_gen), steps=8)
+    assert m["auc"] > 0.60, f"stale training AUC too low: {m}"
+
+
+def test_staleness_survives_growth():
+    """maybe_grow drops the in-flight window and the loop re-primes."""
+
+    model = tiny_model(n_cols=2)
+    tables = base.make_tables(model)
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05), staleness=1)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=5000, seed=2)
+    state = tr.fit(state, iter(gen), steps=30, grow_every=5, log_every=0)
+    assert int(state.step) == 30
