@@ -56,6 +56,10 @@ def plan_groups(table_specs) -> GroupPlan:
     groups: Dict[str, List[str]] = {}
     for name, spec in table_specs.items():
         g = getattr(spec, "group", None)
+        if getattr(spec, "variant", None) == "multihash":
+            # Q-R compositional tables are dense params, not EV-backed —
+            # no physical hash table (handled by the Trainer's variant path).
+            continue
         if g is None:
             physical[name] = PhysicalTableSpec(
                 name=name, dim=spec.dim, members=((name, 0),),

@@ -55,6 +55,11 @@ class TieredTable:
                                  if max_dram_rows >= 0 else table.capacity)
         self.hot_watermark = hot_watermark
         self.evict_fraction = evict_fraction
+        self.strategy = table.option.storage.cache_strategy.value
+        if self.strategy == "lru" and table.versions is None:
+            raise ValueError(
+                "CacheStrategy.LRU needs the versions plane — set "
+                "record_version=True on the table option")
 
     # -- promotion (prefetch thread) ---------------------------------------
 
@@ -107,7 +112,8 @@ class TieredTable:
         k = max(1, int(table.capacity * self.evict_fraction))
         keys, rows, freqs, mask = _demote_select(
             table, k, slot_names=self.slot_names,
-            slot_widths=self.slot_widths, dim=self.dim)
+            slot_widths=self.slot_widths, dim=self.dim,
+            strategy=self.strategy)
         keys_h = np.asarray(jax.device_get(keys))
         rows_h = np.asarray(jax.device_get(rows))
         freqs_h = np.asarray(jax.device_get(freqs))
@@ -171,12 +177,21 @@ _promote_jit = jax.jit(
     _promote_body, static_argnames=("slot_names", "slot_widths", "dim"))
 
 
-def _demote_select_body(table, k, *, slot_names, slot_widths, dim):
-    """Pick the k lowest-frequency live slots; pack their rows."""
+def _demote_select_body(table, k, *, slot_names, slot_widths, dim,
+                        strategy="lfu"):
+    """Pick the k coldest live slots; pack their rows.
+
+    ``strategy`` maps CacheStrategy (config.proto:39-42, cache.h:133/272):
+    "lfu" scores by access frequency, "lru" by last-touched step (the
+    versions plane, updated on every training touch)."""
 
     live = table.keys != table.empty
-    freq = jnp.where(live, table.freqs, jnp.iinfo(jnp.int32).max)
-    _, idx = jax.lax.top_k(-freq, k)          # k coldest
+    if strategy == "lru":
+        score = table.versions
+    else:
+        score = table.freqs
+    score = jnp.where(live, score, jnp.iinfo(jnp.int32).max)
+    _, idx = jax.lax.top_k(-score, k)         # k coldest
     sel_live = live[idx]
     keys = jnp.where(sel_live, table.keys[idx],
                      jnp.asarray(table.empty, table.key_dtype))
@@ -195,4 +210,4 @@ def _demote_select_body(table, k, *, slot_names, slot_widths, dim):
 
 _demote_select = jax.jit(
     _demote_select_body,
-    static_argnames=("k", "slot_names", "slot_widths", "dim"))
+    static_argnames=("k", "slot_names", "slot_widths", "dim", "strategy"))

@@ -41,6 +41,46 @@ class TableSpec:
     # space (hash-bucket semantics).
     group: Optional[str] = None
     id_bits: int = 26
+    # Variant embeddings, first-class (the reference's specialty variable
+    # getters: get_multihash_variable variable_scope.py:2317,
+    # get_dynamic_dimension_embedding_variable :2373,
+    # categorical_column_with_adaptive_embedding feature_column_v2.py:2089):
+    #   "multihash"   — Q-R compositional dense tables, no EV; component
+    #                   tables live in params["_variants"] and train densely.
+    #   "dynamic_dim" — EV whose per-id effective dim unlocks in blocks of
+    #                   ``dyn_dim_block`` as frequency crosses
+    #                   ``dyn_dim_thresholds``.
+    #   "adaptive"    — hot ids (freq >= adaptive_threshold) read/train the
+    #                   EV; cold ids fall back to a hash-bucket dense table
+    #                   of ``adaptive_buckets`` rows in params["_variants"].
+    variant: Optional[str] = None
+    multihash_buckets: Sequence[int] = ()
+    multihash_op: str = "add"            # add | mult | concat
+    dyn_dim_block: int = 0
+    dyn_dim_thresholds: Sequence[int] = ()
+    adaptive_buckets: int = 0
+    adaptive_threshold: int = 10
+
+    def __post_init__(self):
+        v = self.variant
+        if v is None:
+            return
+        if v not in ("multihash", "dynamic_dim", "adaptive"):
+            raise ValueError(f"{self.name}: unknown variant {v!r}")
+        if self.group is not None:
+            raise ValueError(f"{self.name}: variant tables cannot be grouped")
+        if v == "multihash":
+            if len(self.multihash_buckets) < 2:
+                raise ValueError(f"{self.name}: multihash needs >=2 buckets")
+            if (self.multihash_op == "concat"
+                    and self.dim % len(self.multihash_buckets)):
+                raise ValueError(f"{self.name}: dim must divide evenly for "
+                                 "concat multihash")
+        if v == "dynamic_dim":
+            if self.dyn_dim_block <= 0 or self.dim % self.dyn_dim_block:
+                raise ValueError(f"{self.name}: dyn_dim_block must divide dim")
+        if v == "adaptive" and self.adaptive_buckets <= 0:
+            raise ValueError(f"{self.name}: adaptive needs adaptive_buckets")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -9,8 +9,14 @@ Eigen row math; here the ids are already resolved to slots by the lookup phase
 thing fuses into a handful of XLA ops on the VPU.
 
 Semantics matrix reproduced from the reference:
-  * every optimizer × ``WithCounts`` variant (feature-frequency-aware scaling,
-    the *_with_counts ops) via ``use_counts``;
+  * every optimizer × ``WithCounts`` variant via ``use_counts``.  NOTE on
+    semantics (verified against training_ali_ops.cc:140-165): the reference's
+    *_with_counts ops feed counts ONLY into per-key frequency/admission
+    bookkeeping — the gradient math is untouched.  This repo accumulates
+    counts into freqs at lookup time, so ``use_counts=False`` already matches
+    the reference's WithCounts behavior.  ``use_counts=True`` additionally
+    exposes ``ctx["counts"]`` (per-row duplicate multiplicity) to custom
+    update rules; no built-in rule consumes it;
   * filter gating: un-admitted ids receive no update but still count
     frequency (counter_filter_policy.h:106-136);
   * version bump to the current global step on update (UpdateVersion,

@@ -80,6 +80,9 @@ class ShardedTiers:
             self.cold.append(kv)
         self.hot_watermark = hot_watermark
         self.evict_fraction = evict_fraction
+        self.strategy = stacked.option.storage.cache_strategy.value
+        if self.strategy == "lru" and stacked.versions is None:
+            raise ValueError("CacheStrategy.LRU needs record_version=True")
         self._promote_fn = None   # compiled lazily per payload length
         self._promote_len = None
         self._demote_fns: Dict[int, object] = {}  # capacity -> compiled pair
@@ -180,7 +183,8 @@ class ShardedTiers:
             def select(tbl):
                 t = local_view(tbl)
                 keys, rows, freqs, mask = _demote_select_body(
-                    t, k, slot_names=sn, slot_widths=sw, dim=d)
+                    t, k, slot_names=sn, slot_widths=sw, dim=d,
+                    strategy=self.strategy)
                 return keys[None], rows[None], freqs[None], mask[None]
 
             def apply_evict(tbl, mask):

@@ -155,6 +155,12 @@ class DistributedTrainer:
     tiers: Any = None
 
     def __post_init__(self):
+        for n, s in self.model.table_specs.items():
+            if getattr(s, "variant", None) is not None:
+                raise NotImplementedError(
+                    f"table {n!r}: variant embeddings (multihash/dynamic_dim/"
+                    "adaptive) are a single-chip Trainer feature; shard them "
+                    "as regular tables or train on one chip")
         self.compute_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
         self.plan = grp.plan_groups(self.model.table_specs)
         self.num_shards = self.mesh.shape[self.axis]

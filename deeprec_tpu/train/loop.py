@@ -151,6 +151,10 @@ class Trainer:
 
     def init_state(self, key) -> TrainState:
         params = self.model.init_params(key)
+        vparams = self._init_variants(key)
+        if vparams:
+            params = dict(params)
+            params["_variants"] = vparams
         tables = {n: self.sparse_optimizer.init(t) for n, t in self.tables.items()}
         return TrainState(
             params=params,
@@ -159,6 +163,34 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             auc=M.AucState.create(),
         )
+
+    def _init_variants(self, key):
+        """Dense parameter state for variant tables (multihash component
+        tables / adaptive static tables) — lives in params["_variants"] and
+        trains through ``dense_tx`` (the reference keeps these as regular
+        Variables: MultiHashVariable kv_variable_ops.py:986,
+        adaptive_embedding_lookup_sparse embedding_ops.py:667)."""
+
+        import zlib
+
+        out = {}
+        for name, spec in self.model.table_specs.items():
+            v = getattr(spec, "variant", None)
+            if v not in ("multihash", "adaptive"):
+                continue
+            k = jax.random.fold_in(key, zlib.crc32(name.encode()) & 0x7FFFFFFF)
+            if v == "multihash":
+                nparts = len(spec.multihash_buckets)
+                d = (spec.dim // nparts if spec.multihash_op == "concat"
+                     else spec.dim)
+                ks = jax.random.split(k, nparts)
+                out[name] = tuple(
+                    jax.random.normal(kk, (b, d), jnp.float32) * 0.05
+                    for kk, b in zip(ks, spec.multihash_buckets))
+            else:
+                out[name] = jax.random.normal(
+                    k, (spec.adaptive_buckets, spec.dim), jnp.float32) * 0.05
+        return out
 
     # -- grouped lookup plumbing -------------------------------------------
 
@@ -199,20 +231,60 @@ class Trainer:
             gathered[pname] = ev.collect(tbl, lk)
         return new_tables, lks, gathered, handles
 
-    def _make_acts(self, gathered, lks, handles, features, tables):
+    def _make_acts(self, gathered, lks, handles, features, tables,
+                   params=None):
         """2-D id features ([B, L]) yield sequence acts (emb [B,L,D], mask);
-        1-D features yield combined [B, D] activations."""
+        1-D features yield combined [B, D] activations.  Variant tables
+        (TableSpec.variant) take their dedicated row paths here."""
 
         acts = {}
         for fname, feat in features.items():
             lname = fname.split(":")[0]
             spec = self.model.table_specs[lname]
-            pname, (off, n) = handles[fname]
-            # rows are per-position (engine v2): this feature's rows are a
-            # contiguous slice of the group's gathered block
-            rows = jax.lax.dynamic_slice_in_dim(gathered[pname], off, n)
+            variant = getattr(spec, "variant", None)
+            if variant == "multihash":
+                from deeprec_tpu.embedding import variants as vr
+
+                ids_flat = lkp._ids2d(feat.ids).reshape(-1)
+                rows = vr.multihash_lookup(
+                    params["_variants"][lname], ids_flat,
+                    operation=spec.multihash_op)
+                empty = ev.empty_key(feat.ids.dtype)
+            else:
+                pname, (off, n) = handles[fname]
+                # rows are per-position (engine v2): this feature's rows are
+                # a contiguous slice of the group's gathered block
+                rows = jax.lax.dynamic_slice_in_dim(gathered[pname], off, n)
+                empty = tables[pname].empty
+                if variant in ("dynamic_dim", "adaptive"):
+                    t = tables[pname]
+                    sl = jax.lax.dynamic_slice_in_dim(lks[pname].slot_ids,
+                                                      off, n)
+                    safe = jnp.where(sl < t.capacity, sl,
+                                     jnp.int32(t.capacity))
+                    freq = t.freqs.at[safe].get(mode="fill", fill_value=0)
+                if variant == "dynamic_dim":
+                    # frequency-adaptive dims: id i keeps its first
+                    # (1 + #thresholds crossed) blocks, tail zeroed
+                    bn = jnp.ones_like(freq)
+                    for th in spec.dyn_dim_thresholds:
+                        bn = bn + (freq >= th).astype(bn.dtype)
+                    nblocks = t.dim // spec.dyn_dim_block
+                    blk = jax.lax.broadcasted_iota(jnp.int32, (n, nblocks), 1)
+                    mask = (blk < bn[:, None]).astype(rows.dtype)
+                    rows = rows * jnp.repeat(mask, spec.dyn_dim_block, axis=1)
+                elif variant == "adaptive":
+                    # hot ids read/train the EV row; cold ids a hash-bucket
+                    # dense row (collisions acceptable at low freq)
+                    from deeprec_tpu.ops import hashing
+
+                    static = params["_variants"][lname]
+                    ids_flat = lkp._ids2d(feat.ids).reshape(-1)
+                    bkt = hashing.bucket(ids_flat, static.shape[0], salt=3)
+                    hot = freq >= spec.adaptive_threshold
+                    rows = jnp.where(hot[:, None], rows,
+                                     static[bkt].astype(rows.dtype))
             rows = rows.astype(self.compute_dtype)
-            empty = tables[pname].empty
             if feat.ids.ndim >= 2:
                 acts[fname] = lkp.sequence_embedding(rows, None, feat, empty)
             else:
@@ -232,7 +304,8 @@ class Trainer:
         )
 
         def loss_fn(params, gathered):
-            acts = self._make_acts(gathered, lks, handles, features, tables)
+            acts = self._make_acts(gathered, lks, handles, features, tables,
+                                   params)
             dense_in = dict(batch)
             dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
             logits = model.forward(params, dense_in, acts, True)
@@ -322,7 +395,8 @@ class Trainer:
 
             def loss_fn(params, gathered, mb=mb, lks=lks, handles=handles,
                         features=features, tables=tables):
-                acts = self._make_acts(gathered, lks, handles, features, tables)
+                acts = self._make_acts(gathered, lks, handles, features,
+                                       tables, params)
                 dense_in = dict(mb)
                 dense_in["dense"] = mb["dense"].astype(self.compute_dtype)
                 logits = model.forward(params, dense_in, acts, True)
@@ -377,7 +451,8 @@ class Trainer:
         _, lks, gathered, handles = self._grouped_lookup(
             state.tables, features, state.step, False
         )
-        acts = self._make_acts(gathered, lks, handles, features, state.tables)
+        acts = self._make_acts(gathered, lks, handles, features,
+                               state.tables, state.params)
         dense_in = dict(batch)
         dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
         logits = model.forward(state.params, dense_in, acts, False)

@@ -213,3 +213,35 @@ def test_staged_tiered_fit_matches_inline_stepping():
     want = run(False)
     got = run(True)
     np.testing.assert_array_equal(got, want)
+
+
+def test_lru_demotion_scores_by_recency_not_frequency():
+    """CacheStrategy.LRU demotes least-recently-touched rows even when they
+    are the most frequent; LFU demotes least-frequent (cache.h:133 vs :272)."""
+
+    def build(strategy):
+        opt = cfg.EmbeddingVariableOption(
+            storage=cfg.StorageOption(cache_strategy=strategy))
+        t = ev.create("t", dim=4, capacity=256, option=opt)
+        o = sparse.adagrad(lr=0.1)
+        t = o.init(t)
+        old = jnp.arange(0, 50, dtype=jnp.int32)
+        new = jnp.arange(100, 150, dtype=jnp.int32)
+        # old ids: touched many times, but only at step 1 (hot by freq)
+        for _ in range(5):
+            t, lk = ev.lookup_phase(t, old, step=1)
+            t = o.apply(t, lk, jnp.ones((lk.uids.shape[0], 4)), step=1)
+        # new ids: touched once, at step 10 (recent, low freq)
+        t, lk = ev.lookup_phase(t, new, step=10)
+        t = o.apply(t, lk, jnp.ones((lk.uids.shape[0], 4)), step=10)
+        tier = TieredTable(t, evict_fraction=50 / 256)
+        t2 = tier.demote(t)
+        cold_keys = set(tier.cold.export()[0].tolist())
+        return cold_keys
+
+    lru_cold = build(cfg.CacheStrategy.LRU)
+    lfu_cold = build(cfg.CacheStrategy.LFU)
+    # LRU evicts the stale-but-frequent old ids
+    assert lru_cold and all(k < 50 for k in lru_cold), lru_cold
+    # LFU evicts the recent-but-rare new ids
+    assert lfu_cold and all(k >= 100 for k in lfu_cold), lfu_cold

@@ -86,3 +86,101 @@ def test_simple_hash_table():
     assert ht.size == 2
     ek, evs = ht.export()
     assert sorted(ek.tolist()) == [20, 30]
+
+
+# ---------------------------------------------------------------------------
+# First-class integration: TableSpec(variant=...) usable in a model with no
+# bespoke plumbing (the variable_scope.py:2317/2373 + feature_column_v2.py:2089
+# getter surface).
+
+
+def _variant_model():
+    import jax.numpy as jnp
+    from deeprec_tpu.models import base, nn
+
+    specs = {
+        "C1": base.TableSpec(name="C1", dim=8, initial_capacity=2 ** 12),
+        "C2": base.TableSpec(name="C2", dim=8, variant="multihash",
+                             multihash_buckets=(64, 64)),
+        "C3": base.TableSpec(name="C3", dim=8, variant="dynamic_dim",
+                             dyn_dim_block=4, dyn_dim_thresholds=(3,),
+                             initial_capacity=2 ** 12),
+        "C4": base.TableSpec(name="C4", dim=8, variant="adaptive",
+                             adaptive_buckets=128, adaptive_threshold=3,
+                             initial_capacity=2 ** 12),
+    }
+    cols = list(specs)
+
+    def init_params(key):
+        return {"mlp": nn.mlp_init(key, 13 + 8 * len(cols), [32, 1])}
+
+    def forward(params, batch, acts, train=True):
+        x = jnp.concatenate([batch["dense"]] + [acts[c] for c in cols], axis=1)
+        return nn.mlp_apply(params["mlp"], x)[:, 0]
+
+    return base.RecModel(name="variant_mix", table_specs=specs,
+                         init_params=init_params, forward=forward)
+
+
+def test_variants_first_class_in_trainer():
+    import optax
+    from deeprec_tpu.data.synthetic import SyntheticCriteo
+    from deeprec_tpu.models import base
+    from deeprec_tpu.optimizers import sparse
+    from deeprec_tpu.train.loop import Trainer
+
+    model = _variant_model()
+    tables = base.make_tables(model)
+    # multihash spec is dense-only: no physical EV table for it
+    assert "C2" not in tables and "C1" in tables
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    assert "C2" in state.params["_variants"]
+    assert "C4" in state.params["_variants"]
+    mh0 = np.asarray(state.params["_variants"]["C2"][0]).copy()
+    ad0 = np.asarray(state.params["_variants"]["C4"]).copy()
+
+    gen = SyntheticCriteo(batch_size=512, num_ids_per_col=500, seed=1)
+    state = tr.fit(state, iter(gen), steps=100, log_every=0)
+    eval_gen = SyntheticCriteo(batch_size=512, num_ids_per_col=500, seed=99)
+    m = tr.evaluate(state, iter(eval_gen), steps=8)
+    assert m["auc"] > 0.58, f"variant-mix model failed to learn: {m}"
+    # gradients actually reached the variant params
+    assert not np.allclose(mh0, np.asarray(state.params["_variants"]["C2"][0]))
+    assert not np.allclose(ad0, np.asarray(state.params["_variants"]["C4"]))
+    # EV-backed variants trained through the sparse path
+    assert int(state.tables["C3"].size) > 0
+    assert int(state.tables["C4"].size) > 0
+
+
+def test_variant_spec_validation():
+    from deeprec_tpu.models import base
+
+    with pytest.raises(ValueError):
+        base.TableSpec(name="x", dim=8, variant="multihash")  # no buckets
+    with pytest.raises(ValueError):
+        base.TableSpec(name="x", dim=8, variant="dynamic_dim", dyn_dim_block=3)
+    with pytest.raises(ValueError):
+        base.TableSpec(name="x", dim=8, variant="adaptive")
+    with pytest.raises(ValueError):
+        base.TableSpec(name="x", dim=8, variant="multihash",
+                       multihash_buckets=(8, 8), group="g")
+    with pytest.raises(ValueError):
+        base.TableSpec(name="x", dim=8, variant="nope")
+
+
+def test_variants_rejected_on_distributed_trainer():
+    import optax
+    from jax.sharding import Mesh
+    from deeprec_tpu.models import base
+    from deeprec_tpu.optimizers import sparse
+    from deeprec_tpu.parallel.trainer import DistributedTrainer
+
+    model = _variant_model()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    with pytest.raises(NotImplementedError):
+        DistributedTrainer(model=model, mesh=mesh,
+                           sparse_optimizer=sparse.adagrad(lr=0.05),
+                           dense_tx=optax.adagrad(0.05))
