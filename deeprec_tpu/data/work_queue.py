@@ -13,6 +13,8 @@ it is thread-safe for multiple data workers.
 from __future__ import annotations
 
 import json
+import socket
+import socketserver
 import threading
 from typing import Iterator, List, Optional, Sequence
 
@@ -85,3 +87,106 @@ class WorkQueue:
                 yield from reader_fn([item], **reader_kw)
 
         return gen()
+
+
+# ---------------------------------------------------------------------------
+# cross-process queue (the reference's cluster-wide WorkQueue resource: one
+# PS task owns the queue, every worker's Take round-trips to it —
+# work_queue_ops.cc:70, python/ops/work_queue.py:113).  Process 0 runs
+# WorkQueueServer; every process (including 0) consumes via RemoteWorkQueue.
+# Wire protocol: one JSON object per line, {"op": take|size|state|restore}.
+
+
+class WorkQueueServer:
+    """Serves a WorkQueue over TCP to all worker processes."""
+
+    def __init__(self, queue: WorkQueue, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.queue = queue
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(h):
+                for line in h.rfile:
+                    try:
+                        req = json.loads(line)
+                    except json.JSONDecodeError:
+                        break
+                    op = req.get("op")
+                    if op == "take":
+                        resp = {"item": self.queue.take()}
+                    elif op == "size":
+                        resp = {"size": self.queue.size()}
+                    elif op == "state":
+                        resp = {"state": self.queue.state()}
+                    elif op == "restore":
+                        self.queue.restore(req["state"])
+                        resp = {"ok": True}
+                    else:
+                        resp = {"error": f"unknown op {op!r}"}
+                    h.wfile.write((json.dumps(resp) + "\n").encode())
+                    h.wfile.flush()
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._srv = Server((host, port), Handler)
+        self.address = self._srv.server_address  # (host, actual port)
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+class RemoteWorkQueue:
+    """Client with the WorkQueue interface, backed by a WorkQueueServer.
+
+    One persistent connection per consumer; calls are request/response over
+    the line protocol, so concurrent consumers in one process should each
+    hold their own RemoteWorkQueue (the server side is thread-safe)."""
+
+    def __init__(self, address, timeout: float = 30.0):
+        self._sock = socket.create_connection(tuple(address), timeout=timeout)
+        self._rfile = self._sock.makefile("r")
+        self._lock = threading.Lock()
+
+    def _call(self, req: dict) -> dict:
+        with self._lock:
+            self._sock.sendall((json.dumps(req) + "\n").encode())
+            line = self._rfile.readline()
+        if not line:
+            raise ConnectionError("work-queue server closed the connection")
+        return json.loads(line)
+
+    def take(self) -> Optional[str]:
+        return self._call({"op": "take"})["item"]
+
+    def size(self) -> int:
+        return self._call({"op": "size"})["size"]
+
+    def state(self) -> str:
+        return self._call({"op": "state"})["state"]
+
+    def restore(self, state: str) -> None:
+        self._call({"op": "restore", "state": state})
+
+    def __iter__(self) -> Iterator[str]:
+        while True:
+            item = self.take()
+            if item is None:
+                return
+            yield item
+
+    def input_dataset(self, reader_fn, **reader_kw):
+        def gen():
+            for item in self:
+                yield from reader_fn([item], **reader_kw)
+
+        return gen()
+
+    def close(self):
+        self._rfile.close()
+        self._sock.close()

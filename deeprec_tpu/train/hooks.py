@@ -63,7 +63,8 @@ class CheckpointSaverHook(Hook):
     def __init__(self, ckpt_dir: str, save_secs: Optional[float] = None,
                  save_steps: Optional[int] = None,
                  incremental_save_secs: Optional[float] = None,
-                 shrink_on_save: bool = False, tiers=None):
+                 shrink_on_save: bool = False, tiers=None,
+                 num_bundles: int = 1, async_save: bool = False):
         self.ckpt_dir = ckpt_dir
         self.save_secs = save_secs
         self.save_steps = save_steps
@@ -72,6 +73,10 @@ class CheckpointSaverHook(Hook):
         # Same mapping as Trainer(tiers=...): makes full saves tier-complete
         # (cold rows dumped alongside the hot table).
         self.tiers = tiers
+        # SaveV3-style sharded bundle writes (parallel permute+write) and
+        # background saves off the training thread.
+        self.num_bundles = num_bundles
+        self.async_saver = saver.AsyncCheckpointer() if async_save else None
         now = time.time()
         self._last_full = now
         self._last_incr = now
@@ -101,8 +106,14 @@ class CheckpointSaverHook(Hook):
             (self.save_steps and (step + 1) % self.save_steps == 0)
             or (self.save_secs and now - self._last_full >= self.save_secs))
         if full_due:
-            saver.save_checkpoint(self.ckpt_dir, state, step=step + 1,
-                                  shrink=self.shrink, tiers=self.tiers)
+            if self.async_saver is not None:
+                self.async_saver.save(self.ckpt_dir, state, step=step + 1,
+                                      shrink=self.shrink, tiers=self.tiers,
+                                      num_bundles=self.num_bundles)
+            else:
+                saver.save_checkpoint(self.ckpt_dir, state, step=step + 1,
+                                      shrink=self.shrink, tiers=self.tiers,
+                                      num_bundles=self.num_bundles)
             self._last_full = now
             self._last_incr = now
             return state
@@ -112,7 +123,12 @@ class CheckpointSaverHook(Hook):
         return state
 
     def end(self, state):
-        saver.save_checkpoint(self.ckpt_dir, state, tiers=self.tiers)
+        if self.async_saver is not None:
+            self.async_saver.wait()
+        saver.save_checkpoint(self.ckpt_dir, state, tiers=self.tiers,
+                              num_bundles=self.num_bundles)
+        if self.async_saver is not None:
+            self.async_saver.close()
         return state
 
 

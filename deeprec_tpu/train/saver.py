@@ -24,6 +24,8 @@ services; artifacts are host-memory-bounded per table shard.
 
 from __future__ import annotations
 
+import concurrent.futures as cf
+import glob as _glob
 import json
 import os
 import re
@@ -121,10 +123,27 @@ def _table_shards(table: ev.EmbeddingTable) -> List[ev.EmbeddingTable]:
     return out
 
 
-def save_table(path: str, table: ev.EmbeddingTable, *, shrink_step=None):
+def _bundle_name(path: str, b: int, nb: int) -> str:
+    base = path[:-4] if path.endswith(".npz") else path
+    return f"{base}-{b:05d}-of-{nb:05d}.npz"
+
+
+def save_table(path: str, table: ev.EmbeddingTable, *, shrink_step=None,
+               num_bundles: int = 1, executor=None) -> List[str]:
+    """Dump a table to ``path`` (one npz) or, with ``num_bundles`` > 1, to a
+    sharded bundle set ``path-BBBBB-of-NNNNN.npz`` — the reference's SaveV3
+    sharded-bundle layout (save_restore_v2_ops.cc:274).  Each bundle owns a
+    contiguous range of the 1000 logical partitions; the row permutation and
+    the file write for each bundle run on ``executor`` (or an internal pool),
+    so a multi-GB table is gathered + written in parallel instead of one
+    monolithic host stall.  Returns the list of files written."""
+
     shards = _table_shards(table)
     parts = [_export_table_host(t, shrink_step=shrink_step) for t in shards]
-    merged, offsets = _merge_and_partition(parts)
+    merged = {}
+    for k in parts[0]:
+        merged[k] = ([p[k] for p in parts] if len(parts) > 1
+                     else [parts[0][k]])
     extra = {}
     if shards[0].cbf is not None:
         # Pre-admission CBF state (the reference's filtered-feature persistence,
@@ -136,7 +155,95 @@ def save_table(path: str, table: ev.EmbeddingTable, *, shrink_step=None):
         for t in shards:
             acc += np.asarray(jax.device_get(t.cbf), np.int64)
         extra["cbf"] = np.minimum(acc, np.iinfo(dt).max).astype(dt)
-    np.savez(path, partition_offsets=offsets, **merged, **extra)
+
+    keys_cat = (np.concatenate(merged["keys"]) if len(parts) > 1
+                else merged["keys"][0])
+    part = _partition_of(keys_cat)
+    order = np.argsort(part, kind="stable")
+    psorted = part[order]
+    offsets = np.searchsorted(
+        psorted, np.arange(SAVED_PARTITIONS + 1)).astype(np.int64)
+
+    def cat(k):
+        return (np.concatenate(merged[k]) if len(merged[k]) > 1
+                else merged[k][0])
+
+    if num_bundles <= 1:
+        out = {k: cat(k)[order] for k in merged}
+        np.savez(path, partition_offsets=offsets, **out, **extra)
+        return [path]
+
+    # Bundle b owns partitions [lo, hi); rows are order[offsets[lo]:offsets[hi]].
+    bounds = np.linspace(0, SAVED_PARTITIONS, num_bundles + 1).astype(int)
+    cats = {k: cat(k) for k in merged}
+
+    def write_bundle(b):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        sel = order[offsets[lo]:offsets[hi]]
+        data = {k: cats[k][sel] for k in cats}
+        local = (offsets[lo:hi + 1] - offsets[lo]).astype(np.int64)
+        hdr = dict(extra) if b == 0 else {}
+        fname = _bundle_name(path, b, num_bundles)
+        np.savez(fname, partition_offsets=local,
+                 bundle_range=np.asarray([lo, hi], np.int64), **data, **hdr)
+        return fname
+
+    own = executor is None
+    ex = executor or cf.ThreadPoolExecutor(max_workers=min(num_bundles, 8))
+    try:
+        files = list(ex.map(write_bundle, range(num_bundles)))
+    finally:
+        if own:
+            ex.shutdown()
+    return files
+
+
+def _select_from_npz(data, lo: int, hi: int, shard_index: int,
+                     num_shards: int) -> Dict[str, np.ndarray]:
+    """Rows of partitions p in [lo, hi) with p % num_shards == shard_index
+    from one loaded npz whose partition_offsets cover [lo, hi]."""
+
+    offsets = data["partition_offsets"]
+    sel = [np.arange(offsets[p - lo], offsets[p - lo + 1])
+           for p in range(lo, hi) if p % num_shards == shard_index]
+    idx = (np.concatenate(sel) if sel else np.arange(0)).astype(np.int64)
+    skip = ("partition_offsets", "bundle_range", "cbf")
+    return {k: data[k][idx] for k in data.files if k not in skip}
+
+
+def _load_selected(path: str, shard_index: int,
+                   num_shards: int) -> Dict[str, np.ndarray]:
+    """Load the rows this shard owns (partition % num_shards == shard_index)
+    from a single-file table dump or a SaveV3-style bundle set; bundles are
+    read and sliced in parallel.  Adds 'cbf' if the dump carries one."""
+
+    if os.path.exists(path):
+        data = np.load(path)
+        out = _select_from_npz(data, 0, SAVED_PARTITIONS,
+                               shard_index, num_shards)
+        if "cbf" in data.files:
+            out["cbf"] = data["cbf"]
+        return out
+    base = path[:-4] if path.endswith(".npz") else path
+    files = sorted(_glob.glob(f"{base}-?????-of-?????.npz"))
+    if not files:
+        raise FileNotFoundError(f"no table dump at {path} (or bundles)")
+
+    def load_one(f):
+        data = np.load(f)
+        lo, hi = (int(x) for x in data["bundle_range"])
+        part = _select_from_npz(data, lo, hi, shard_index, num_shards)
+        cbf = data["cbf"] if "cbf" in data.files else None
+        return part, cbf
+
+    with cf.ThreadPoolExecutor(max_workers=min(len(files), 8)) as ex:
+        loaded = list(ex.map(load_one, files))
+    parts = [p for p, _ in loaded]
+    out = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    for _, cbf in loaded:
+        if cbf is not None:
+            out["cbf"] = cbf
+    return out
 
 
 def restore_table(
@@ -149,13 +256,8 @@ def restore_table(
     """Load this shard's sub-partitions (p % num_shards == shard_index) and
     bulk-insert into a fresh table built from ``template``."""
 
-    data = np.load(path)
-    offsets = data["partition_offsets"]
-    sel = [np.arange(offsets[p], offsets[p + 1])
-           for p in range(SAVED_PARTITIONS) if p % num_shards == shard_index]
-    idx = (np.concatenate(sel) if sel else np.arange(0)).astype(np.int64)
-
-    keys = data["keys"][idx]
+    data = _load_selected(path, shard_index, num_shards)
+    keys = data["keys"]
     n = len(keys)
     cap = template.capacity
     while n > template.option.max_load_factor * cap:
@@ -180,11 +282,13 @@ def restore_table(
             fresh = fresh.replace(cbf=jnp.asarray(saved, fresh.cbf.dtype))
     if n == 0:
         return fresh
-    return _bulk_import(fresh, data, idx)
+    return _bulk_import(fresh, data)
 
 
-def _bulk_import(fresh: ev.EmbeddingTable, data, idx) -> ev.EmbeddingTable:
-    keys = jnp.asarray(data["keys"][idx], fresh.key_dtype)
+def _bulk_import(fresh: ev.EmbeddingTable, data) -> ev.EmbeddingTable:
+    """Insert pre-selected host rows (``data`` maps column -> array)."""
+
+    keys = jnp.asarray(data["keys"], fresh.key_dtype)
     valid = jnp.ones(keys.shape, jnp.bool_)
     while True:
         new_keys, slots, inserted, n_failed = ev._find_or_insert(
@@ -199,17 +303,17 @@ def _bulk_import(fresh: ev.EmbeddingTable, data, idx) -> ev.EmbeddingTable:
     def put(arr, host):
         return arr.at[dst].set(jnp.asarray(host, arr.dtype), mode="drop")
 
-    values = put(fresh.values, data["values"][idx])
-    freqs = (put(fresh.freqs, data["freqs"][idx])
+    values = put(fresh.values, data["values"])
+    freqs = (put(fresh.freqs, data["freqs"])
              if fresh.freqs is not None and "freqs" in data else fresh.freqs)
-    versions = (put(fresh.versions, data["versions"][idx])
+    versions = (put(fresh.versions, data["versions"])
                 if fresh.versions is not None and "versions" in data
                 else fresh.versions)
     slots_d = dict(fresh.slots)
     for sname in fresh.slots:
         k = f"slot_{sname}"
         if k in data:
-            slots_d[sname] = put(fresh.slots[sname], data[k][idx])
+            slots_d[sname] = put(fresh.slots[sname], data[k])
     return fresh.replace(
         keys=new_keys, values=values, freqs=freqs, versions=versions,
         slots=slots_d, size=fresh.size + jnp.sum(inserted).astype(jnp.int32),
@@ -257,14 +361,10 @@ def apply_table_delta(
 ) -> ev.EmbeddingTable:
     """Upsert delta rows into an existing table (KvResourceIncrImport)."""
 
-    data = np.load(path)
-    offsets = data["partition_offsets"]
-    sel = [np.arange(offsets[p], offsets[p + 1])
-           for p in range(SAVED_PARTITIONS) if p % num_shards == shard_index]
-    idx = (np.concatenate(sel) if sel else np.arange(0)).astype(np.int64)
-    if len(idx) == 0:
+    data = _load_selected(path, shard_index, num_shards)
+    if len(data["keys"]) == 0:
         return table
-    keys = jnp.asarray(data["keys"][idx], table.key_dtype)
+    keys = jnp.asarray(data["keys"], table.key_dtype)
     valid = jnp.ones(keys.shape, jnp.bool_)
     while True:
         new_keys, slots, inserted, n_failed = ev._find_or_insert(
@@ -281,17 +381,17 @@ def apply_table_delta(
     def put(arr, host):
         return arr.at[dst].set(jnp.asarray(host, arr.dtype), mode="drop")
 
-    values = put(table.values, data["values"][idx])
-    freqs = (put(table.freqs, data["freqs"][idx])
+    values = put(table.values, data["values"])
+    freqs = (put(table.freqs, data["freqs"])
              if table.freqs is not None and "freqs" in data else table.freqs)
-    versions = (put(table.versions, data["versions"][idx])
+    versions = (put(table.versions, data["versions"])
                 if table.versions is not None and "versions" in data
                 else table.versions)
     slots_d = dict(table.slots)
     for sname in table.slots:
         k = f"slot_{sname}"
         if k in data:
-            slots_d[sname] = put(table.slots[sname], data[k][idx])
+            slots_d[sname] = put(table.slots[sname], data[k])
     return table.replace(
         keys=new_keys, values=values, freqs=freqs, versions=versions,
         slots=slots_d, size=table.size + jnp.sum(inserted).astype(jnp.int32),
@@ -303,7 +403,8 @@ def apply_table_delta(
 
 
 def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
-                    shrink: bool = False, tiers=None) -> str:
+                    shrink: bool = False, tiers=None,
+                    num_bundles: int = 1, _cold_data=None) -> str:
     """Full checkpoint of a TrainState (local or distributed).
 
     ``tiers`` ({table name: TieredTable} or ShardedTiers) makes the save
@@ -312,6 +413,13 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
     storage levels (multi_tier_storage.h:47, embedding_var.h Save ->
     Storage::Save).  Without it a tiered job would lose every demoted row
     on restart.
+
+    ``num_bundles`` > 1 writes each table as a sharded bundle set with the
+    permute+write work parallelized across a thread pool (SaveV3 sharded
+    bundles, save_restore_v2_ops.cc:274) — restore is format-transparent.
+    ``_cold_data`` is an internal pre-exported {name: (keys, rows, freqs)}
+    snapshot used by AsyncCheckpointer so the live host KV isn't walked from
+    the background thread.
     """
 
     step = int(state.step) if step is None else step
@@ -322,13 +430,21 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
                                 "opt_state": state.opt_state,
                                 "auc": state.auc}))
     meta = {"step": step, "tables": {}, "cold": {}}
-    for name, t in state.tables.items():
-        fname = f"table_{name}.npz"
-        save_table(os.path.join(d, fname), t,
-                   shrink_step=state.step if shrink else None)
-        meta["tables"][name] = fname
-    for name, tier in (tiers or {}).items():
-        keys, rows, freqs = tier.export_cold()
+    ex = (cf.ThreadPoolExecutor(max_workers=8) if num_bundles > 1 else None)
+    try:
+        for name, t in state.tables.items():
+            fname = f"table_{name}.npz"
+            save_table(os.path.join(d, fname), t,
+                       shrink_step=state.step if shrink else None,
+                       num_bundles=num_bundles, executor=ex)
+            meta["tables"][name] = fname
+    finally:
+        if ex is not None:
+            ex.shutdown()
+    if _cold_data is None:
+        _cold_data = {name: tier.export_cold()
+                      for name, tier in (tiers or {}).items()}
+    for name, (keys, rows, freqs) in _cold_data.items():
         if len(keys) == 0:
             continue
         fname = f"cold_{name}.npz"
@@ -339,6 +455,47 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
     with open(os.path.join(ckpt_dir, "checkpoint"), "w") as f:
         json.dump({"latest": f"step_{step}"}, f)
     return d
+
+
+class AsyncCheckpointer:
+    """Background full saves (the reference's async/incremental saver thread,
+    incremental_saver.py:78 cadence machinery + a snapshot save).
+
+    ``save`` snapshots the state's device buffers with an on-device copy
+    before returning (the training step donates its input buffers, so the
+    live state's arrays are deleted as soon as the next step runs), then
+    device_gets + writes from the background thread.  The host-side cold
+    tier is likewise snapshotted synchronously (it mutates under demotion).
+    Returns a Future; at most one save is in flight — a new save waits for
+    the previous one.
+    """
+
+    def __init__(self):
+        self._ex = cf.ThreadPoolExecutor(max_workers=1)
+        self._pending: Optional[cf.Future] = None
+
+    def save(self, ckpt_dir: str, state, *, step=None, shrink=False,
+             tiers=None, num_bundles: int = 1) -> cf.Future:
+        self.wait()
+        state = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+        cold = {name: tier.export_cold()
+                for name, tier in (tiers or {}).items()}
+        self._pending = self._ex.submit(
+            save_checkpoint, ckpt_dir, state, step=step, shrink=shrink,
+            num_bundles=num_bundles, _cold_data=cold)
+        return self._pending
+
+    def wait(self) -> Optional[str]:
+        if self._pending is not None:
+            path = self._pending.result()
+            self._pending = None
+            return path
+        return None
+
+    def close(self):
+        self.wait()
+        self._ex.shutdown()
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

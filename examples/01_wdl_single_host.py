@@ -1,14 +1,17 @@
 """BASELINE config 1: WDL on Criteo-format data, single host.
 
-Swap ``SyntheticCriteo`` for ``CriteoTSV([...paths], loop=True)`` when real
-Criteo-Kaggle files are available (modelzoo/wide_and_deep equivalent run).
+Real Criteo-Kaggle files: ``--data tsv:/path/train.txt`` (see
+examples/common.py; modelzoo/wide_and_deep equivalent run).
 """
 
 import jax
 import optax
 
 from deeprec_tpu.data.prefetch import smart_stage
-from deeprec_tpu.data.synthetic import SyntheticCriteo
+try:
+    from examples.common import make_data, make_eval_data
+except ImportError:  # run as a script
+    from common import make_data, make_eval_data
 from deeprec_tpu.models import base, get_model
 from deeprec_tpu.optimizers import sparse
 from deeprec_tpu.train.hooks import LoggingHook
@@ -25,11 +28,10 @@ def main(steps=500, batch_size=2048):
         bf16=True,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
-    data = smart_stage(SyntheticCriteo(batch_size=batch_size, seed=1))
+    data = smart_stage(make_data(batch_size))
     state = trainer.fit(state, data, steps=steps, log_every=0,
                         hooks=[LoggingHook(100, batch_size=batch_size)])
-    print(trainer.evaluate(
-        state, iter(SyntheticCriteo(batch_size=batch_size, seed=99)), 10))
+    print(trainer.evaluate(state, make_eval_data(batch_size), 10))
 
 
 if __name__ == "__main__":

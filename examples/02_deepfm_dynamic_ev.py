@@ -6,7 +6,10 @@ import jax
 import optax
 
 from deeprec_tpu import config as cfg
-from deeprec_tpu.data.synthetic import SyntheticCriteo
+try:
+    from examples.common import make_data
+except ImportError:  # run as a script
+    from common import make_data
 from deeprec_tpu.models import base, get_model
 from deeprec_tpu.optimizers import sparse
 from deeprec_tpu.train.hooks import CheckpointSaverHook, LoggingHook
@@ -32,7 +35,7 @@ def main(steps=500, ckpt_dir="/tmp/deepfm_ckpt"):
         CheckpointSaverHook(ckpt_dir, save_steps=200,
                             incremental_save_secs=10.0),
     ]
-    state = trainer.fit(state, iter(SyntheticCriteo(batch_size=2048, seed=1)),
+    state = trainer.fit(state, make_data(2048),
                         steps=steps, log_every=0, hooks=hooks)
 
 

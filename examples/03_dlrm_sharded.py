@@ -11,7 +11,10 @@ import numpy as np
 import optax
 from jax.sharding import Mesh
 
-from deeprec_tpu.data.synthetic import SyntheticCriteo
+try:
+    from examples.common import make_data
+except ImportError:  # run as a script
+    from common import make_data
 from deeprec_tpu.models import get_model
 from deeprec_tpu.optimizers import sparse
 from deeprec_tpu.parallel.trainer import DistributedTrainer
@@ -26,7 +29,7 @@ def main(steps=200, batch_size=2048):
         per_shard_capacity=2 ** 19,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
-    it = iter(SyntheticCriteo(batch_size=batch_size, seed=1))
+    it = make_data(batch_size)
     for i in range(steps):
         state, m = trainer.train_step(state, next(it))
         loss = m["loss"]

@@ -301,3 +301,86 @@ def test_tiered_ssd_cbf_checkpoint_restart_roundtrip(tmp_path):
     # restoring a tiered checkpoint WITHOUT tiers must fail loudly, not drop
     with pytest.raises(ValueError, match="cold tier"):
         saver.restore_checkpoint(ckpt, template)
+
+
+def test_bundled_table_roundtrip_and_reshard(tmp_path):
+    """SaveV3-style sharded bundles: save with num_bundles>1, restore both
+    unsharded and resharded; format-transparent vs the single-file dump."""
+
+    t, ids = _filled_table(n=400, cbf_filter=cfg.CBFFilterOption(
+        filter_freq=1, max_element_size=1000))
+    p = str(tmp_path / "t.npz")
+    files = saver.save_table(p, t, num_bundles=4)
+    assert len(files) == 4 and not os.path.exists(p)
+    t2 = saver.restore_table(p, t)
+    want = np.asarray(ev.lookup(t, ids))
+    np.testing.assert_allclose(np.asarray(ev.lookup(t2, ids)), want, rtol=1e-6)
+    assert int(t2.size) == int(t.size)
+    # CBF sketch travels in bundle 0
+    np.testing.assert_array_equal(np.asarray(t2.cbf), np.asarray(t.cbf))
+    # reshard straight out of bundles
+    shards = [saver.restore_table(p, t, shard_index=i, num_shards=3)
+              for i in range(3)]
+    assert sum(int(s.size) for s in shards) == int(t.size)
+    found = np.zeros(len(np.asarray(ids)), np.int32)
+    for s in shards:
+        c = np.asarray(ev.contains(s, ids))
+        np.testing.assert_allclose(np.asarray(ev.lookup(s, ids))[c],
+                                   want[c], rtol=1e-6)
+        found += c.astype(np.int32)
+    np.testing.assert_array_equal(found, 1)
+
+
+def test_bundled_checkpoint_matches_monolithic(tmp_path):
+    model = tiny_model(n_cols=2)
+    tables = base.make_tables(model)
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=128, num_ids_per_col=400, seed=1)
+    it = iter(gen)
+    for _ in range(5):
+        state, _ = tr.train_step(state, next(it))
+    d1 = saver.save_checkpoint(str(tmp_path / "mono"), state)
+    d2 = saver.save_checkpoint(str(tmp_path / "bund"), state, num_bundles=3)
+    r1 = saver.restore_checkpoint(d1, tr.init_state(jax.random.PRNGKey(0)))
+    r2 = saver.restore_checkpoint(d2, tr.init_state(jax.random.PRNGKey(0)))
+    b = next(it)
+    _, m1 = tr.train_step(r1, b)
+    _, m2 = tr.train_step(r2, b)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_async_checkpointer(tmp_path):
+    """Background save produces a checkpoint identical to a sync one; the
+    state snapshot is consistent even while training keeps mutating."""
+
+    model = tiny_model(n_cols=2)
+    tables = base.make_tables(model)
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=128, num_ids_per_col=400, seed=1)
+    it = iter(gen)
+    for _ in range(5):
+        state, _ = tr.train_step(state, next(it))
+
+    d_sync = saver.save_checkpoint(str(tmp_path / "sync"), state)
+    ac = saver.AsyncCheckpointer()
+    fut = ac.save(str(tmp_path / "async"), state, num_bundles=2)
+    # keep training while the save runs — the step DONATES the live state's
+    # buffers, so the snapshot copy inside save() is what keeps this safe
+    cont = state
+    for _ in range(5):
+        cont, _ = tr.train_step(cont, next(it))
+    d_async = fut.result()
+    ac.close()
+
+    r1 = saver.restore_checkpoint(d_async, tr.init_state(jax.random.PRNGKey(0)))
+    r2 = saver.restore_checkpoint(d_sync, tr.init_state(jax.random.PRNGKey(0)))
+    b = next(it)
+    _, m1 = tr.train_step(r1, b)
+    _, m2 = tr.train_step(r2, b)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
