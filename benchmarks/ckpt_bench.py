@@ -27,7 +27,7 @@ from deeprec_tpu.embedding import table as ev
 from deeprec_tpu.optimizers import sparse
 from deeprec_tpu.train import saver
 
-CAP = 2 ** 25          # 33.5M slots
+CAP = 2 ** 24          # 16.8M slots (scale chosen to keep a run ~5 min; ratios are scale-free)
 FILL = 0.5             # 16.8M live rows
 DIM = 16
 OUT = "/tmp/ckpt_bench"
@@ -67,15 +67,19 @@ def main():
               flush=True)
         return t_cpu, t_dur
 
-    t_mono, _ = timed("monolithic save",
-                      lambda: saver.save_table(os.path.join(OUT, "mono.npz"), t))
+    t_mono = min(timed("monolithic save",
+                       lambda: saver.save_table(
+                           os.path.join(OUT, "mono.npz"), t))[0]
+                 for _ in range(2))
     sz = os.path.getsize(os.path.join(OUT, "mono.npz")) / 2 ** 30
     print(f"  ({sz:.2f} GiB)", flush=True)
 
     for nb in (4, 8, 16):
-        dt, _ = timed(f"bundled save (nb={nb})",
-                      lambda nb=nb: saver.save_table(
-                          os.path.join(OUT, f"bund{nb}.npz"), t, num_bundles=nb))
+        dt = min(timed(f"bundled save (nb={nb})",
+                       lambda nb=nb: saver.save_table(
+                           os.path.join(OUT, f"bund{nb}.npz"), t,
+                           num_bundles=nb))[0]
+                 for _ in range(2))
         print(f"  cpu-side speedup {t_mono/dt:.2f}x", flush=True)
 
     # async: what does the TRAINING THREAD pay?

@@ -71,6 +71,10 @@ def main():
     print(f"TSV: {n_rows/1e6:.1f}M rows, {nbytes/2**30:.2f} GiB", flush=True)
     import jax
 
+    if "--tpu" not in sys.argv:
+        # sitecustomize forces the axon TPU backend; loopback = CPU
+        jax.config.update("jax_platforms", "cpu")
+
     r = run(0, n_rows)
     print(f"stage A  parse+batch assembly: {r/1e6:.2f}M ex/s "
           f"({r*nbytes/n_rows/2**20:.0f} MB/s)", flush=True)

@@ -145,6 +145,72 @@ class EmbeddingVariableOption:
     default_value_no_permission: float = 0.0
 
 
+# ---------------------------------------------------------------------------
+# option-tree (de)serialization — makes checkpoints self-describing (the
+# reference ships the training-time option tree inside the SavedModel the
+# Processor restores from; here it travels as model_meta.json).
+
+
+def option_to_dict(opt):
+    """Recursively encode a config dataclass to plain-JSON types."""
+
+    if opt is None or isinstance(opt, (int, float, str, bool)):
+        return opt
+    if isinstance(opt, enum.Enum):
+        return {"__enum__": type(opt).__name__, "value": opt.value}
+    if dataclasses.is_dataclass(opt):
+        return {"__class__": type(opt).__name__,
+                **{f.name: option_to_dict(getattr(opt, f.name))
+                   for f in dataclasses.fields(opt)}}
+    if isinstance(opt, (list, tuple)):
+        return [option_to_dict(v) for v in opt]
+    # jnp dtypes and anything dtype-like
+    import numpy as _np
+
+    try:
+        return {"__dtype__": _np.dtype(opt).name}
+    except TypeError:
+        raise TypeError(f"cannot serialize config value {opt!r}")
+
+
+_OPTION_CLASSES = None
+
+
+def _option_classes():
+    global _OPTION_CLASSES
+    if _OPTION_CLASSES is None:
+        import sys
+
+        mod = sys.modules[__name__]
+        _OPTION_CLASSES = {
+            n: c for n, c in vars(mod).items()
+            if isinstance(c, type)
+            and (dataclasses.is_dataclass(c) or issubclass(c, enum.Enum))
+        }
+    return _OPTION_CLASSES
+
+
+def option_from_dict(d):
+    """Inverse of option_to_dict."""
+
+    if d is None or isinstance(d, (int, float, str, bool)):
+        return d
+    if isinstance(d, list):
+        return [option_from_dict(v) for v in d]
+    if "__dtype__" in d:
+        import numpy as _np
+
+        return _np.dtype(d["__dtype__"])
+    if "__enum__" in d:
+        return _option_classes()[d["__enum__"]](d["value"])
+    if "__class__" in d:
+        cls = _option_classes()[d["__class__"]]
+        kw = {k: option_from_dict(v) for k, v in d.items()
+              if k != "__class__"}
+        return cls(**kw)
+    raise ValueError(f"unrecognized config encoding: {d!r}")
+
+
 def env_flag(name: str, default: str = "") -> str:
     """Environment override hook (the reference's env-var config plane)."""
 

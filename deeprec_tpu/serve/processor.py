@@ -47,19 +47,36 @@ DEFAULT_CONFIG = {
     "bucket_sizes": [64, 256, 1024],
     "version_poll_secs": 2.0,
     "warmup": True,
+    # Replay recorded requests at startup (the reference's warmup_file_name,
+    # model_config.cc): a JSONL file of {"dense": [[..]], "cat": {..}}.
+    "warmup_file_name": None,
     "feature_store_type": "memory",
+    # Lane dispatch (select_session_policy, model_config.cc): "shared" = one
+    # queue drained by all lanes (least-loaded by construction); "round_robin"
+    # = requests assigned to lanes in turn (per-lane FIFO ordering).
+    "select_session_policy": "shared",
+    # Serve with a bounded device tier + host cold store (ev_storage,
+    # model_config.cc EV storage keys): {"dram_rows": N, "ssd_path": ...,
+    # "ssd_capacity_mb": M}.  None = everything device-resident.
+    "ev_storage": None,
+    # Accepted for config-file compatibility; scheduling is XLA's on TPU, so
+    # these are recorded in get_serving_model_info and otherwise inert.
+    "cpusets": None,
+    "omp_num_threads": None,
+    "serialize_protocol": "json",
 }
 
 
 class Processor:
-    def __init__(self, model, config: Optional[Dict] = None):
+    def __init__(self, model, config: Optional[Dict] = None,
+                 table_templates: Optional[Dict] = None):
         if isinstance(model, str):
             model = get_model(model)
         self.model = model
         self.config = {**DEFAULT_CONFIG, **(config or {})}
         self._trainer = Trainer(
             model=model,
-            tables=base.make_tables(model),
+            tables=table_templates or base.make_tables(model),
             sparse_optimizer=sparse_opt.sgd(0.0),
             dense_tx=optax.set_to_zero(),
         )
@@ -70,9 +87,49 @@ class Processor:
         self._stop = threading.Event()
         self._poller: Optional[threading.Thread] = None
         self._sessions: List[threading.Thread] = []
-        self._requests: "queue.Queue" = queue.Queue()
+        # "shared": one queue, all lanes drain it (least-loaded).
+        # "round_robin": one queue per lane, process() deals in turn.
+        self._policy = self.config["select_session_policy"]
+        n_lanes = int(self.config["session_num"])
+        if self._policy == "round_robin":
+            self._lane_queues = [queue.Queue() for _ in range(n_lanes)]
+        else:
+            self._lane_queues = [queue.Queue()] * n_lanes
+        self._rr = 0
+        self._tiers = None
 
     # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def from_saved(cls, model_dir: str, model=None,
+                   config: Optional[Dict] = None) -> "Processor":
+        """Build a Processor from the checkpoint artifact alone.
+
+        Reads model_meta.json (written by save_checkpoint) for the registry
+        model name and the exact table schema — the reference's
+        SavedModel+config self-description (model_config.cc); ``model``
+        overrides for models not in the registry."""
+
+        path = saver.latest_checkpoint(model_dir)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint under {model_dir}")
+        meta = saver.load_model_meta(path)
+        if model is None:
+            if meta is None or not meta.get("model_name"):
+                raise ValueError(
+                    f"{path} has no model_meta.json model_name — pass "
+                    "model= explicitly (train-side: save_checkpoint/"
+                    "CheckpointSaverHook model_name=...)")
+            model = get_model(meta["model_name"])
+        templates = None
+        if meta is not None:
+            templates = {
+                name: saver.build_template_table(name, tmeta)
+                for name, tmeta in meta["tables"].items()
+            }
+        proc = cls(model, config=config, table_templates=templates)
+        proc.initialize(model_dir)
+        return proc
 
     def initialize(self, model_dir: str) -> None:
         """Load the latest full checkpoint + any newer deltas; start the
@@ -86,10 +143,13 @@ class Processor:
         self._apply_new_deltas()
         if self.config["warmup"]:
             self._warmup()
+        if self.config["warmup_file_name"]:
+            self._warmup_from_file(self.config["warmup_file_name"])
         self._poller = threading.Thread(target=self._poll_loop, daemon=True)
         self._poller.start()
         for i in range(int(self.config["session_num"])):
-            t = threading.Thread(target=self._session_loop, daemon=True)
+            t = threading.Thread(target=self._session_loop, args=(i,),
+                                 daemon=True)
             t.start()
             self._sessions.append(t)
 
@@ -102,15 +162,39 @@ class Processor:
             "version": self._loaded_version,
             "deltas_applied": sorted(self._applied_deltas),
             "session_num": self.config["session_num"],
+            "select_session_policy": self._policy,
+            "ev_storage": bool(self._tiers),
+            # recorded for config parity; scheduling is XLA's on TPU
+            "cpusets": self.config["cpusets"],
+            "omp_num_threads": self.config["omp_num_threads"],
+            "serialize_protocol": self.config["serialize_protocol"],
         }
 
     # -- model updates ------------------------------------------------------
 
     def _load_full(self, path: str) -> None:
         template = self._trainer.init_state(jax.random.PRNGKey(0))
-        state = saver.restore_checkpoint(path, template)
+        tiers = None
+        ev_cfg = self.config["ev_storage"]
+        if ev_cfg is not None:
+            # Bounded-HBM serving (the reference's ev_storage config keys):
+            # cold rows live in the host KV and are read through per request.
+            from deeprec_tpu.embedding.tiered import TieredTable
+
+            tiers = {
+                name: TieredTable(
+                    t,
+                    ssd_path=ev_cfg.get("ssd_path"),
+                    max_dram_rows=int(ev_cfg.get("dram_rows", -1)),
+                    hot_watermark=float(ev_cfg.get("hot_watermark", 0.85)),
+                )
+                for name, t in template.tables.items()
+            }
+        state = saver.restore_checkpoint(path, template, tiers=tiers)
         with self._state_lock:
             self._state = state
+            self._tiers = tiers
+            self._trainer.tiers = tiers
             self._loaded_version = os.path.basename(path)
             self._applied_deltas.clear()
 
@@ -210,20 +294,42 @@ class Processor:
                         fake["cat"].setdefault(c, np.zeros((b,), np.int32))
             self.predict(fake)
 
+    def _warmup_from_file(self, path: str) -> None:
+        """Replay recorded requests (warmup_file_name): JSONL of
+        {"dense": [[...]], "cat": {col: [...]}}."""
+
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                req = json.loads(line)
+                self.predict({
+                    "dense": np.asarray(req["dense"], np.float32),
+                    "cat": {k: np.asarray(v, np.int32)
+                            for k, v in req["cat"].items()},
+                })
+
     # -- async session-group API -------------------------------------------
 
     def process(self, request: Dict) -> "queue.Queue":
         """Enqueue a request; returns a single-item result queue (the C API's
-        async process())."""
+        async process()).  Lane choice follows select_session_policy."""
 
         out: "queue.Queue" = queue.Queue(maxsize=1)
-        self._requests.put((request, out))
+        if self._policy == "round_robin":
+            lane = self._rr % len(self._lane_queues)
+            self._rr += 1
+        else:
+            lane = 0  # shared queue: all lanes drain the same one
+        self._lane_queues[lane].put((request, out))
         return out
 
-    def _session_loop(self):
+    def _session_loop(self, lane: int):
+        q = self._lane_queues[lane]
         while not self._stop.is_set():
             try:
-                req, out = self._requests.get(timeout=0.2)
+                req, out = q.get(timeout=0.2)
             except queue.Empty:
                 continue
             try:

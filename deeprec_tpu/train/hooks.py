@@ -64,7 +64,8 @@ class CheckpointSaverHook(Hook):
                  save_steps: Optional[int] = None,
                  incremental_save_secs: Optional[float] = None,
                  shrink_on_save: bool = False, tiers=None,
-                 num_bundles: int = 1, async_save: bool = False):
+                 num_bundles: int = 1, async_save: bool = False,
+                 model_name: Optional[str] = None):
         self.ckpt_dir = ckpt_dir
         self.save_secs = save_secs
         self.save_steps = save_steps
@@ -76,6 +77,7 @@ class CheckpointSaverHook(Hook):
         # SaveV3-style sharded bundle writes (parallel permute+write) and
         # background saves off the training thread.
         self.num_bundles = num_bundles
+        self.model_name = model_name
         self.async_saver = saver.AsyncCheckpointer() if async_save else None
         now = time.time()
         self._last_full = now
@@ -109,11 +111,13 @@ class CheckpointSaverHook(Hook):
             if self.async_saver is not None:
                 self.async_saver.save(self.ckpt_dir, state, step=step + 1,
                                       shrink=self.shrink, tiers=self.tiers,
-                                      num_bundles=self.num_bundles)
+                                      num_bundles=self.num_bundles,
+                                      model_name=self.model_name)
             else:
                 saver.save_checkpoint(self.ckpt_dir, state, step=step + 1,
                                       shrink=self.shrink, tiers=self.tiers,
-                                      num_bundles=self.num_bundles)
+                                      num_bundles=self.num_bundles,
+                                      model_name=self.model_name)
             self._last_full = now
             self._last_incr = now
             return state
@@ -126,7 +130,8 @@ class CheckpointSaverHook(Hook):
         if self.async_saver is not None:
             self.async_saver.wait()
         saver.save_checkpoint(self.ckpt_dir, state, tiers=self.tiers,
-                              num_bundles=self.num_bundles)
+                              num_bundles=self.num_bundles,
+                              model_name=self.model_name)
         if self.async_saver is not None:
             self.async_saver.close()
         return state

@@ -399,12 +399,65 @@ def apply_table_delta(
 
 
 # ---------------------------------------------------------------------------
+# self-describing model metadata (model_meta.json) — the role of the
+# reference's SavedModel+config bundle the Processor restores from
+# (serving/processor model_config.cc; the training-time option tree ships
+# with the artifact, so serving needs no out-of-band schema knowledge).
+
+
+def describe_tables(state) -> Dict[str, Dict]:
+    from deeprec_tpu import config as cfg
+
+    out = {}
+    for name, t in state.tables.items():
+        t0 = _table_shards(t)[0]
+        out[name] = {
+            "dim": int(t0.dim),
+            "key_dtype": np.dtype(t0.key_dtype).name,
+            "value_dtype": np.dtype(t0.value_dtype).name,
+            "capacity": int(t0.capacity),
+            "slots": {s: int(v.shape[-1]) for s, v in t0.slots.items()},
+            "slot_inits": {k: float(v) for k, v in dict(t0.slot_inits).items()},
+            "option": cfg.option_to_dict(t0.option),
+        }
+    return out
+
+
+def build_template_table(name: str, tmeta: Dict,
+                         with_slots: bool = False) -> ev.EmbeddingTable:
+    """An empty table matching a model_meta.json table schema."""
+
+    from deeprec_tpu import config as cfg
+
+    option = cfg.option_from_dict(tmeta["option"])
+    t = ev.create(name, tmeta["dim"],
+                  key_dtype=jnp.dtype(tmeta["key_dtype"]),
+                  value_dtype=jnp.dtype(tmeta["value_dtype"]),
+                  option=option, capacity=tmeta["capacity"])
+    if with_slots:
+        inits = tmeta.get("slot_inits", {})
+        for sname, width in tmeta.get("slots", {}).items():
+            t = ev.with_slot(t, sname, width=width,
+                             init=inits.get(sname, 0.0))
+    return t
+
+
+def load_model_meta(ckpt_path: str) -> Optional[Dict]:
+    p = os.path.join(ckpt_path, "model_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
 # full TrainState checkpoints
 
 
 def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
                     shrink: bool = False, tiers=None,
-                    num_bundles: int = 1, _cold_data=None) -> str:
+                    num_bundles: int = 1, model_name: Optional[str] = None,
+                    _cold_data=None) -> str:
     """Full checkpoint of a TrainState (local or distributed).
 
     ``tiers`` ({table name: TieredTable} or ShardedTiers) makes the save
@@ -449,9 +502,24 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
             continue
         fname = f"cold_{name}.npz"
         np.savez(os.path.join(d, fname), keys=keys, rows=rows, freqs=freqs)
-        meta["cold"][name] = {"file": fname, "row_floats": rows.shape[1]}
+        layout = {"file": fname, "row_floats": int(rows.shape[1])}
+        tier = (tiers or {}).get(name)
+        if tier is not None:
+            # row layout [values | slot_0..k | version] — recorded so a
+            # consumer with a different slot schema (e.g. serving, which
+            # carries no optimizer slots) can remap columns on restore.
+            layout["dim"] = int(tier.dim)
+            layout["slot_names"] = list(tier.slot_names)
+            layout["slot_widths"] = list(tier.slot_widths)
+        meta["cold"][name] = layout
     with open(os.path.join(d, "meta.json"), "w") as f:
         json.dump(meta, f)
+    # self-describing schema: table options + slot layout (+ model registry
+    # name when the caller provides one) so the Processor can reconstruct
+    # the restore template from the artifact alone.
+    with open(os.path.join(d, "model_meta.json"), "w") as f:
+        json.dump({"model_name": model_name,
+                   "tables": describe_tables(state)}, f)
     with open(os.path.join(ckpt_dir, "checkpoint"), "w") as f:
         json.dump({"latest": f"step_{step}"}, f)
     return d
@@ -475,7 +543,8 @@ class AsyncCheckpointer:
         self._pending: Optional[cf.Future] = None
 
     def save(self, ckpt_dir: str, state, *, step=None, shrink=False,
-             tiers=None, num_bundles: int = 1) -> cf.Future:
+             tiers=None, num_bundles: int = 1,
+             model_name=None) -> cf.Future:
         self.wait()
         state = jax.tree.map(
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
@@ -483,7 +552,7 @@ class AsyncCheckpointer:
                 for name, tier in (tiers or {}).items()}
         self._pending = self._ex.submit(
             save_checkpoint, ckpt_dir, state, step=step, shrink=shrink,
-            num_bundles=num_bundles, _cold_data=cold)
+            num_bundles=num_bundles, model_name=model_name, _cold_data=cold)
         return self._pending
 
     def wait(self) -> Optional[str]:
@@ -504,6 +573,41 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
         return None
     with open(marker) as f:
         return os.path.join(ckpt_dir, json.load(f)["latest"])
+
+
+def _remap_cold_rows(name: str, info: Dict, rows: np.ndarray, tier):
+    """Convert a cold dump's [values|slots|version] layout into the target
+    tier's (slots the target lacks are dropped; slots the dump lacks are
+    zero-filled) — lets serving (no optimizer slots) consume a training
+    cold tier."""
+
+    if "slot_names" not in info:
+        raise ValueError(
+            f"cold-tier row layout mismatch for {name!r}: checkpoint has "
+            f"{rows.shape[1]} floats/row, tier expects {tier.row_floats}, "
+            "and the checkpoint predates layout metadata — re-save it")
+    dim = int(info["dim"])
+    if dim != tier.dim:
+        raise ValueError(
+            f"cold-tier dim mismatch for {name!r}: {dim} vs {tier.dim}")
+    src_off = {}
+    off = dim
+    for sname, w in zip(info["slot_names"], info["slot_widths"]):
+        src_off[sname] = (off, int(w))
+        off += int(w)
+    out = np.zeros((rows.shape[0], tier.row_floats), rows.dtype)
+    out[:, :dim] = rows[:, :dim]
+    doff = dim
+    for sname, w in zip(tier.slot_names, tier.slot_widths):
+        if sname in src_off:
+            so, sw = src_off[sname]
+            if sw != w:
+                raise ValueError(
+                    f"slot {sname!r} width mismatch for {name!r}: {sw} vs {w}")
+            out[:, doff:doff + w] = rows[:, so:so + sw]
+        doff += w
+    out[:, -1] = rows[:, -1]  # version (bitcast f32)
+    return out
 
 
 def restore_checkpoint(ckpt_path: str, state_template, *,
@@ -527,12 +631,10 @@ def restore_checkpoint(ckpt_path: str, state_template, *,
                 "would be silently lost")
         cold = np.load(os.path.join(ckpt_path, info["file"]))
         tier = tiers[name]
-        if cold["rows"].shape[1] != tier.row_floats:
-            raise ValueError(
-                f"cold-tier row layout mismatch for {name!r}: checkpoint has "
-                f"{cold['rows'].shape[1]} floats/row, tier expects "
-                f"{tier.row_floats} (optimizer slot schema must match)")
-        tier.import_cold(cold["keys"], cold["rows"], cold["freqs"])
+        rows = cold["rows"]
+        if rows.shape[1] != tier.row_floats:
+            rows = _remap_cold_rows(name, info, rows, tier)
+        tier.import_cold(cold["keys"], rows, cold["freqs"])
     dense = dict(np.load(os.path.join(ckpt_path, "dense.npz")))
     restored_dense = _unflatten_params(
         {"params": state_template.params,

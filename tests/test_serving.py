@@ -177,3 +177,190 @@ def test_http_server_roundtrip(tmp_path):
     finally:
         srv.stop()
         p.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Serving depth (round 2): self-describing restore, multi-model, model
+# store, session policies, tiered (bounded-HBM) serving.
+
+
+def test_from_saved_self_describing(tmp_path):
+    """Processor built from the artifact alone: model_meta.json carries the
+    registry model name + exact table schema (SavedModel+config role)."""
+
+    from deeprec_tpu.models import get_model
+
+    model = get_model("wdl")
+    tr = Trainer(model=model, tables=base.make_tables(model, capacity=2 ** 12),
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=128, num_ids_per_col=300, seed=1)
+    it = iter(gen)
+    for _ in range(4):
+        state, _ = tr.train_step(state, next(it))
+    saver.save_checkpoint(str(tmp_path), state, model_name="wdl")
+
+    p = Processor.from_saved(str(tmp_path),
+                             config={"warmup": False, "session_num": 1})
+    b = next(it)
+    scores = p.predict({"dense": b["dense"][:20],
+                        "cat": {k: v[:20] for k, v in b["cat"].items()}})
+    logits, _ = tr.eval_step(state, b)
+    want = 1 / (1 + np.exp(-np.asarray(logits[:20], np.float64)))
+    np.testing.assert_allclose(scores, want, rtol=1e-4, atol=1e-5)
+    p.shutdown()
+
+
+def test_from_saved_requires_name_or_model(tmp_path):
+    model, tr, state, it = _train_and_save(tmp_path)  # no model_name
+    with pytest.raises(ValueError):
+        Processor.from_saved(str(tmp_path))
+    # explicit model still works, schema comes from model_meta.json
+    p = Processor.from_saved(str(tmp_path), model=model,
+                             config={"warmup": False})
+    b = next(it)
+    s = p.predict({"dense": b["dense"][:8],
+                   "cat": {k: v[:8] for k, v in b["cat"].items()}})
+    assert s.shape == (8,)
+    p.shutdown()
+
+
+def test_multi_model_http(tmp_path):
+    """Two models behind one frontend: /v1/models + routed predicts."""
+
+    import json as _json
+    import urllib.request
+
+    from deeprec_tpu.serve.http_server import ServingServer
+    from deeprec_tpu.serve.multi import ModelManager
+
+    model_a, tr_a, state_a, it = _train_and_save(tmp_path / "a")
+    model_b, tr_b, state_b, _ = _train_and_save(tmp_path / "b", steps=3)
+    mgr = ModelManager()
+    mgr.add("ctr", Processor.from_saved(str(tmp_path / "a"), model=model_a,
+                                        config={"warmup": False}))
+    mgr.add("cvr", Processor.from_saved(str(tmp_path / "b"), model=model_b,
+                                        config={"warmup": False}))
+    srv = ServingServer(mgr).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/v1/models") as r:
+            info = _json.load(r)
+        assert set(info) == {"ctr", "cvr"}
+        b = next(it)
+        payload = _json.dumps({
+            "dense": b["dense"][:4].tolist(),
+            "cat": {k: v[:4].tolist() for k, v in b["cat"].items()},
+        }).encode()
+        scores = {}
+        for name in ("ctr", "cvr"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/v1/models/{name}:predict",
+                data=payload, headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                scores[name] = _json.load(r)["scores"]
+        assert len(scores["ctr"]) == 4
+        # distinct checkpoints -> distinct scores
+        assert not np.allclose(scores["ctr"], scores["cvr"])
+        # unknown model -> 404
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/models/nope:predict",
+            data=payload)
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
+        mgr.shutdown()
+
+
+def test_mirrored_model_store(tmp_path):
+    """The OSS/HDFS-pull mechanism: new versions + deltas mirrored into the
+    local cache, marker published last."""
+
+    from deeprec_tpu.serve.model_store import MirroredModelStore
+
+    src, cache = tmp_path / "remote", tmp_path / "cache"
+    model, tr, state, it = _train_and_save(src)
+    store = MirroredModelStore(str(src), str(cache), poll_secs=0.2)
+    assert store.sync() is True
+    p = Processor.from_saved(str(cache), model=model,
+                             config={"warmup": False})
+    assert p.get_serving_model_info()["version"].startswith("step_")
+
+    # publish a delta upstream; sync mirrors it
+    os.makedirs(src / "incr_99")
+    with open(src / "incr_99" / "meta.json", "w") as f:
+        f.write('{"step": 99, "tables": {}}')
+    with open(src / "incr_99" / "DONE", "w") as f:
+        f.write("99")
+    assert store.sync() is True
+    assert os.path.exists(cache / "incr_99" / "DONE")
+    assert store.sync() is False  # idempotent
+    p.shutdown()
+    store.stop()
+
+
+def test_session_policies_and_warmup_file(tmp_path):
+    model, tr, state, it = _train_and_save(tmp_path)
+    b = next(it)
+    req = {"dense": b["dense"][:6],
+           "cat": {k: v[:6] for k, v in b["cat"].items()}}
+    wf = tmp_path / "warmup.jsonl"
+    import json as _json
+
+    with open(wf, "w") as f:
+        f.write(_json.dumps({"dense": req["dense"].tolist(),
+                             "cat": {k: v.tolist()
+                                     for k, v in req["cat"].items()}}) + "\n")
+    p = Processor(model, {"session_num": 2, "warmup": False,
+                          "warmup_file_name": str(wf),
+                          "select_session_policy": "round_robin"})
+    p.initialize(str(tmp_path))
+    qs = [p.process(req) for _ in range(6)]
+    res = [q.get(timeout=30) for q in qs]
+    for r in res:
+        assert not isinstance(r, Exception) and r.shape == (6,)
+    info = p.get_serving_model_info()
+    assert info["select_session_policy"] == "round_robin"
+    p.shutdown()
+
+
+def test_ev_storage_tiered_serving(tmp_path):
+    """Bounded-HBM serving: a checkpoint with a cold tier restores into a
+    serving-side TieredTable; cold ids score identically via read-through."""
+
+    from deeprec_tpu.embedding import table as ev
+    from deeprec_tpu.embedding.tiered import TieredTable
+
+    model = tiny_model(n_cols=2, emb_dim=4)
+    tables = {n: ev.create(n, t.dim, option=t.option, capacity=256)
+              for n, t in base.make_tables(model).items()}
+    o = sparse.adagrad(lr=0.05)
+    tables = {n: o.init(t) for n, t in tables.items()}
+    tiers = {n: TieredTable(t, evict_fraction=0.5, hot_watermark=0.5)
+             for n, t in tables.items()}
+    tr = Trainer(model=model, tables=tables, sparse_optimizer=o,
+                 dense_tx=optax.adagrad(0.05), tiers=tiers)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    batches = [next(iter(SyntheticCriteo(batch_size=128, num_ids_per_col=600,
+                                         seed=s))) for s in range(1, 9)]
+    for i, b in enumerate(batches):
+        state, _ = tr.train_step(state, b)
+        if (i + 1) % 2 == 0:
+            state = tr.maybe_grow(state)  # demotion runs here under tiers
+    assert any(t.cold.size > 0 for t in tiers.values())
+    saver.save_checkpoint(str(tmp_path), state, tiers=tiers)
+
+    p = Processor(model, {"warmup": False, "session_num": 1,
+                          "ev_storage": {"dram_rows": -1}})
+    p.initialize(str(tmp_path))
+    for b in batches[:3]:
+        scores = p.predict({"dense": b["dense"], "cat": b["cat"]})
+        logits, _ = tr.eval_step(state, b)
+        want = 1 / (1 + np.exp(-np.asarray(logits, np.float64)))
+        np.testing.assert_allclose(scores, want, rtol=1e-4, atol=1e-5)
+    p.shutdown()
