@@ -24,41 +24,109 @@ import numpy as np
 
 @dataclasses.dataclass
 class KafkaStream:
-    """Criteo-format messages from Kafka topics (requires confluent_kafka)."""
+    """Criteo-format messages from Kafka topics.
+
+    Uses ``confluent_kafka.Consumer`` by default; pass ``consumer_factory``
+    (a callable ``config_dict -> consumer``) to substitute any object with
+    the same ``subscribe``/``poll`` surface — ``FakeKafkaBroker.consumer``
+    below exercises this path without a broker (confluent_kafka is not in
+    this image).
+    """
 
     topics: list
     bootstrap_servers: str = "localhost:9092"
     group_id: str = "deeprec_tpu"
     batch_size: int = 2048
     poll_timeout: float = 1.0
+    consumer_factory: Optional[object] = None
+    max_empty_polls: Optional[int] = None  # stop after N idle polls (tests)
 
     def __iter__(self) -> Iterator[Dict]:
-        try:
-            from confluent_kafka import Consumer  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "confluent_kafka is not installed; use TailStream for "
-                "file-based streaming or install a Kafka client") from e
+        factory = self.consumer_factory
+        if factory is None:
+            try:
+                from confluent_kafka import Consumer as factory  # type: ignore
+            except ImportError as e:
+                raise ImportError(
+                    "confluent_kafka is not installed; pass "
+                    "consumer_factory=, or use TailStream for file-based "
+                    "streaming") from e
         from deeprec_tpu.data import native
         from deeprec_tpu.data.criteo import _to_batch
 
-        c = Consumer({
+        c = factory({
             "bootstrap.servers": self.bootstrap_servers,
             "group.id": self.group_id,
             "auto.offset.reset": "earliest",
         })
         c.subscribe(self.topics)
         buf = b""
+        idle = 0
         while True:
             msg = c.poll(self.poll_timeout)
             if msg is None or msg.error():
+                idle += 1
+                if (self.max_empty_polls is not None
+                        and idle >= self.max_empty_polls):
+                    return
                 continue
+            idle = 0
             buf += msg.value() + b"\n"
             labels, dense, cats, consumed = native.criteo_parse(
                 buf, self.batch_size)
             if len(labels) >= self.batch_size:
                 buf = buf[consumed:]
                 yield _to_batch(labels, dense, cats)
+
+
+class _FakeMessage:
+    __slots__ = ("_value",)
+
+    def __init__(self, value: bytes):
+        self._value = value
+
+    def value(self) -> bytes:
+        return self._value
+
+    def error(self):
+        return None
+
+
+class FakeKafkaBroker:
+    """In-memory topic queues with the confluent Consumer poll surface.
+
+    Implements the *client interface* (subscribe/poll, msg.value()/error()),
+    not the Kafka wire protocol — enough to run KafkaStream's real batching
+    and parse logic end to end in tests and local dev.
+    """
+
+    def __init__(self):
+        self._topics: Dict[str, list] = {}
+
+    def produce(self, topic: str, value: bytes) -> None:
+        self._topics.setdefault(topic, []).append(value)
+
+    def consumer(self, config: Dict) -> "_FakeConsumer":
+        return _FakeConsumer(self)
+
+
+class _FakeConsumer:
+    def __init__(self, broker: FakeKafkaBroker):
+        self._broker = broker
+        self._topics: list = []
+        self._offsets: Dict[str, int] = {}
+
+    def subscribe(self, topics) -> None:
+        self._topics = list(topics)
+
+    def poll(self, timeout: float = 0.0):
+        for t in self._topics:
+            q = self._broker._topics.get(t, [])
+            off = self._offsets.get(t, 0)
+            if off < len(q):
+                self._offsets[t] = off + 1
+                return _FakeMessage(q[off])
+        return None
 
 
 @dataclasses.dataclass

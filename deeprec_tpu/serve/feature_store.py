@@ -6,10 +6,10 @@ lets many serving instances share one parameter store.  Here:
 
   * ``MemoryFeatureStore`` — the default: the Processor's own restored
     tables (zero-copy; what test_serving exercises).
-  * ``RedisFeatureStore`` — key/value rows in Redis; available when a redis
-    client is installed (not in this image; the class degrades with a clear
-    error).  Row encoding matches the delta-file layout so a training job can
-    publish deltas straight into Redis.
+  * ``RedisFeatureStore`` — key/value rows in Redis over a stdlib RESP
+    client (serve/resp.py; no third-party package needed).  Row encoding
+    matches the delta-file layout so a training job can publish deltas
+    straight into Redis; tests run it against an in-process MiniRedisServer.
 """
 
 from __future__ import annotations
@@ -44,22 +44,19 @@ class RedisFeatureStore:
 
     def __init__(self, url: str = "redis://localhost:6379", prefix: str = "ev",
                  cluster: bool = False):
-        try:
-            import redis  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "feature_store_type=redis requires the 'redis' package, "
-                "which is not installed in this environment; use "
-                "feature_store_type=memory") from e
-        cls = redis.RedisCluster if cluster else redis.Redis
-        self._r = cls.from_url(url)
+        from deeprec_tpu.serve.resp import RespClient
+
+        # cluster_redis routing (MOVED redirects) is not implemented; a
+        # cluster behind a proxy endpoint works transparently.
+        self._r = RespClient.from_url(url)
+        if not self._r.ping():
+            raise ConnectionError(f"redis at {url} did not answer PING")
         self.prefix = prefix
 
     def publish_table(self, name: str, keys: np.ndarray, rows: np.ndarray):
-        pipe = self._r.pipeline()
-        for k, row in zip(keys.tolist(), np.asarray(rows, np.float32)):
-            pipe.set(f"{self.prefix}:{name}:{k}", row.tobytes())
-        pipe.execute()
+        rows = np.ascontiguousarray(rows, np.float32)
+        self._r.mset([(f"{self.prefix}:{name}:{k}", row.tobytes())
+                      for k, row in zip(keys.tolist(), rows)])
 
     def lookup(self, table: str, ids: np.ndarray, dim: int):
         vals = self._r.mget([f"{self.prefix}:{table}:{i}" for i in ids.tolist()])
@@ -70,3 +67,6 @@ class RedisFeatureStore:
                 out[j] = np.frombuffer(v, np.float32)
                 found[j] = True
         return out, found
+
+    def close(self):
+        self._r.close()

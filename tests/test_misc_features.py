@@ -166,8 +166,65 @@ def test_feature_stores():
     rows, found = fs.lookup("t", np.array([0, 99], np.int32))
     assert rows.shape == (2, 4)
     assert found.tolist() == [True, False]
-    with pytest.raises(ImportError, match="redis"):
-        RedisFeatureStore()
+
+
+def test_redis_feature_store_roundtrip():
+    """RedisFeatureStore over the stdlib RESP client against an in-process
+    RESP server — publish a table, mixed-hit lookup, found mask correct."""
+    from deeprec_tpu.serve.feature_store import RedisFeatureStore
+    from deeprec_tpu.serve.resp import MiniRedisServer
+
+    srv = MiniRedisServer().start()
+    try:
+        fs = RedisFeatureStore(url=srv.url, prefix="ev")
+        keys = np.arange(100, dtype=np.int64)
+        rows = np.random.default_rng(0).normal(size=(100, 8)).astype(np.float32)
+        fs.publish_table("user", keys, rows)
+        got, found = fs.lookup("user", np.array([3, 999, 77], np.int64), dim=8)
+        assert found.tolist() == [True, False, True]
+        np.testing.assert_array_equal(got[0], rows[3])
+        np.testing.assert_array_equal(got[2], rows[77])
+        assert np.all(got[1] == 0)
+        # second table under the same prefix does not collide
+        fs.publish_table("item", keys[:5], rows[:5] + 1)
+        got2, f2 = fs.lookup("item", np.array([3], np.int64), dim=8)
+        assert f2[0] and np.allclose(got2[0], rows[3] + 1)
+        fs.close()
+    finally:
+        srv.stop()
+
+
+def test_kafka_stream_with_fake_broker():
+    """KafkaStream's real poll/parse/batch loop over the in-memory broker."""
+    from deeprec_tpu.data.kafka import FakeKafkaBroker, KafkaStream
+    from deeprec_tpu.data.synthetic import SyntheticCriteo
+
+    gen = SyntheticCriteo(batch_size=64, num_ids_per_col=50, seed=3)
+    broker = FakeKafkaBroker()
+    # producer: 10 messages of 16 criteo TSV rows each = 160 rows
+    it = iter(gen)
+    total_rows = []
+    for _ in range(10):
+        b = next(it)
+        lines = []
+        for r in range(16):
+            cols = ([str(int(b["label"][r]))]
+                    + [f"{x:.4f}" for x in np.asarray(b["dense"][r])]
+                    + [format(int(v[r]) & 0xFFFFFFFF, "x")
+                       for v in b["cat"].values()])
+            lines.append("\t".join(cols))
+            total_rows.append(int(b["label"][r]))
+        broker.produce("clicks", "\n".join(lines).encode())
+
+    stream = KafkaStream(topics=["clicks"], batch_size=50,
+                         consumer_factory=broker.consumer,
+                         max_empty_polls=3, poll_timeout=0)
+    batches = list(stream)
+    assert len(batches) == 3  # 160 rows -> 3 full batches of 50
+    for b in batches:
+        assert b["label"].shape == (50,)
+        assert b["dense"].shape[0] == 50
+        assert all(v.shape[0] == 50 for v in b["cat"].values())
 
 
 # ---------------------------------------------------------------------------
