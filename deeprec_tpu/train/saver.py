@@ -520,8 +520,17 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
     with open(os.path.join(d, "model_meta.json"), "w") as f:
         json.dump({"model_name": model_name,
                    "tables": describe_tables(state)}, f)
-    with open(os.path.join(ckpt_dir, "checkpoint"), "w") as f:
+    # The pointer flip is the commit point: written to a temp file and
+    # renamed so a crash anywhere during the save leaves the previous
+    # pointer intact (a partial step_N dir is unreachable garbage, never a
+    # restore candidate).
+    marker = os.path.join(ckpt_dir, "checkpoint")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"latest": f"step_{step}"}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, marker)
     return d
 
 

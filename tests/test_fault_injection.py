@@ -1,0 +1,201 @@
+"""Fault injection: crashes mid-save must never corrupt what a restore or a
+serving poller sees.
+
+The protocol under test (the reference's equivalent: SaveV3 writes bundles
+then flips the `checkpoint` proto pointer; incr_save publishes the delta
+dir before updating sentinel state — incr_save_restore_ops.cc):
+
+  * full save — the `checkpoint` pointer file is fsync'd to a temp name and
+    os.replace'd LAST, so a crash anywhere during the save leaves the
+    previous pointer intact and the partial step_N dir unreachable;
+  * incremental save — the DONE marker is written last; the serving poller
+    ignores incr dirs without it.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from deeprec_tpu import config as cfg
+from deeprec_tpu.data.synthetic import SyntheticCriteo
+from deeprec_tpu.models import base
+from deeprec_tpu.optimizers import sparse
+from deeprec_tpu.train import saver
+from deeprec_tpu.train.hooks import CheckpointSaverHook
+from deeprec_tpu.train.loop import Trainer
+from tests.test_train_e2e import tiny_model
+
+
+def _trainer(incr=False):
+    model = tiny_model(n_cols=2)
+    opt = cfg.EmbeddingVariableOption(record_touched=True) if incr else None
+    tables = base.make_tables(model, option=opt)
+    # incr mode freezes dense params so table deltas carry ALL change and
+    # post-replay eval can be compared exactly against the live trainer
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.set_to_zero() if incr else optax.adagrad(0.05))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    it = iter(SyntheticCriteo(batch_size=128, num_ids_per_col=300, seed=1))
+    return model, tr, state, it
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _snap(state):
+    """Host copy of a state: train_step donates its input buffers, so any
+    state kept for later comparison must be snapshotted before training on."""
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, state)
+
+
+def test_crash_mid_full_save_keeps_previous_checkpoint(tmp_path, monkeypatch):
+    model, tr, state_a, it = _trainer()
+    for _ in range(4):
+        state_a, _ = tr.train_step(state_a, next(it))
+    saver.save_checkpoint(str(tmp_path), state_a, step=4)
+    state_a = _snap(state_a)
+
+    # train further, then crash partway through the step-8 save: the first
+    # table file writes, the second raises (power cut mid-artifact).
+    state_b = state_a
+    for _ in range(4):
+        state_b, _ = tr.train_step(state_b, next(it))
+    real_save_table = saver.save_table
+    calls = {"n": 0}
+
+    def dying_save_table(path, table, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise _Boom("simulated crash mid-save")
+        return real_save_table(path, table, **kw)
+
+    monkeypatch.setattr(saver, "save_table", dying_save_table)
+    with pytest.raises(_Boom):
+        saver.save_checkpoint(str(tmp_path), state_b, step=8)
+    monkeypatch.setattr(saver, "save_table", real_save_table)
+
+    # pointer still names step_4; the partial step_8 dir is ignored
+    latest = saver.latest_checkpoint(str(tmp_path))
+    assert latest.endswith("step_4")
+    assert os.path.isdir(os.path.join(str(tmp_path), "step_8"))  # garbage...
+    restored = saver.restore_checkpoint(latest, state_a)
+    b = next(it)
+    want, _ = tr.eval_step(state_a, b)
+    got, _ = tr.eval_step(restored, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    # ...and a subsequent successful save reclaims the step_8 name cleanly
+    saver.save_checkpoint(str(tmp_path), state_b, step=8)
+    assert saver.latest_checkpoint(str(tmp_path)).endswith("step_8")
+    restored_b = saver.restore_checkpoint(
+        saver.latest_checkpoint(str(tmp_path)), state_b)
+    want_b, _ = tr.eval_step(state_b, b)
+    got_b, _ = tr.eval_step(restored_b, b)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=1e-5)
+
+
+def test_torn_pointer_tmp_never_visible(tmp_path):
+    model, tr, state, it = _trainer()
+    state, _ = tr.train_step(state, next(it))
+    saver.save_checkpoint(str(tmp_path), state, step=1)
+    # a crash between tmp-write and rename leaves checkpoint.tmp garbage;
+    # latest_checkpoint must keep reading the committed pointer
+    with open(os.path.join(str(tmp_path), "checkpoint.tmp"), "w") as f:
+        f.write('{"latest": "step_99')  # torn json
+    assert saver.latest_checkpoint(str(tmp_path)).endswith("step_1")
+
+
+def test_serving_ignores_incr_without_done_marker(tmp_path):
+    """Crash mid-incremental: the delta dir exists, DONE does not — the
+    Processor must serve the pre-crash state; completing the marker later
+    makes the delta visible on the next poll."""
+    from deeprec_tpu.serve.processor import Processor
+
+    model, tr, state, it = _trainer(incr=True)
+    for _ in range(4):
+        state, _ = tr.train_step(state, next(it))
+    saver.save_checkpoint(str(tmp_path), state, step=4)
+    state = _snap(state)
+
+    # more training, then an incremental dump that "crashes" before DONE
+    state2 = state
+    for _ in range(4):
+        state2, _ = tr.train_step(state2, next(it))
+    hook = CheckpointSaverHook(str(tmp_path), save_steps=10 ** 9)
+    state2 = hook._save_incr(state2, 8)
+    done = os.path.join(str(tmp_path), "incr_8", "DONE")
+    os.remove(done)
+
+    p = Processor(model, {"warmup": False, "version_poll_secs": 0.05})
+    p.initialize(str(tmp_path))
+    try:
+        b = next(it)
+        feed = {"dense": b["dense"][:32],
+                "cat": {k: v[:32] for k, v in b["cat"].items()}}
+        scores_crash = p.predict(feed)
+        want_a, _ = tr.eval_step(state, b)
+        want_a = 1 / (1 + np.exp(-np.asarray(want_a[:32], np.float64)))
+        np.testing.assert_allclose(scores_crash, want_a, rtol=1e-4, atol=1e-5)
+        assert p.get_serving_model_info()["deltas_applied"] == []
+
+        # the producer finishes: DONE lands, poller ingests the delta
+        with open(done, "w") as f:
+            f.write("8")
+        assert p._apply_new_deltas() == 1
+        scores_fixed = p.predict(feed)
+        want_b, _ = tr.eval_step(jax.device_put(state2), b)
+        want_b = 1 / (1 + np.exp(-np.asarray(want_b[:32], np.float64)))
+        np.testing.assert_allclose(scores_fixed, want_b, rtol=1e-4, atol=1e-5)
+    finally:
+        p.shutdown()
+
+
+def test_restore_after_kill_replays_full_plus_deltas(tmp_path):
+    """Process-kill recovery: a fresh process restores the last full
+    checkpoint and replays every DONE-marked delta (and only those)."""
+    model, tr, state, it = _trainer(incr=True)
+    for _ in range(3):
+        state, _ = tr.train_step(state, next(it))
+    saver.save_checkpoint(str(tmp_path), state, step=3)
+    state = _snap(state)
+    hook = CheckpointSaverHook(str(tmp_path), save_steps=10 ** 9)
+    state4, _ = tr.train_step(state, next(it))
+    state4 = hook._save_incr(state4, 4)
+    state5, _ = tr.train_step(state4, next(it))
+    state5 = hook._save_incr(state5, 5)
+    state5 = _snap(state5)
+    # a torn sixth delta (no DONE)
+    state6, _ = tr.train_step(state5, next(it))
+    hook2 = CheckpointSaverHook(str(tmp_path), save_steps=10 ** 9)
+    state6 = hook2._save_incr(state6, 6)
+    os.remove(os.path.join(str(tmp_path), "incr_6", "DONE"))
+
+    # "new process": restore full, replay deltas in order where DONE exists
+    restored = saver.restore_checkpoint(
+        saver.latest_checkpoint(str(tmp_path)), state)
+    for d in sorted(os.listdir(str(tmp_path))):
+        if not d.startswith("incr_"):
+            continue
+        full = os.path.join(str(tmp_path), d)
+        if not os.path.exists(os.path.join(full, "DONE")):
+            continue
+        with open(os.path.join(full, "meta.json")) as f:
+            meta = json.load(f)
+        tables = dict(restored.tables)
+        for name, fname in meta["tables"].items():
+            tables[name] = saver.apply_table_delta(
+                tables[name], os.path.join(full, fname))
+        restored = restored.replace(tables=tables)
+
+    b = next(it)
+    want, _ = tr.eval_step(state5, b)  # state through delta 5, not 6
+    got, _ = tr.eval_step(restored, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
