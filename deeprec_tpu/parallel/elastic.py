@@ -26,10 +26,17 @@ from deeprec_tpu.train import saver
 
 @dataclasses.dataclass
 class ElasticController:
-    """Host-side re-scaling coordinator for a DistributedTrainer job."""
+    """Host-side re-scaling coordinator for a DistributedTrainer job.
+
+    ``via_disk=False`` (default) re-partitions device-to-device through host
+    RAM (saver.reshard_state) — seconds, not minutes, for big tables.
+    ``via_disk=True`` additionally cuts a full checkpoint and restores from
+    it, making the rescale double as a recovery point.
+    """
 
     make_trainer: Callable[[Mesh], object]   # mesh -> DistributedTrainer
     ckpt_dir: Optional[str] = None
+    via_disk: bool = False
 
     def __post_init__(self):
         self.ckpt_dir = self.ckpt_dir or tempfile.mkdtemp(prefix="elastic_")
@@ -62,9 +69,15 @@ class ElasticController:
             return trainer, state
         n = self._pending
         self._pending = None
-        path = saver.save_checkpoint(self.ckpt_dir, state)
         new_mesh = Mesh(np.asarray(jax.devices()[:n]), ("data",))
         new_trainer = self.make_trainer(new_mesh)
         template = new_trainer.init_state(jax.random.PRNGKey(0))
-        new_state = saver.restore_checkpoint(path, template)
+        if self.via_disk:
+            path = saver.save_checkpoint(self.ckpt_dir, state)
+            new_state = saver.restore_checkpoint(path, template)
+        else:
+            new_state = saver.reshard_state(state, template)
+        if hasattr(new_trainer, "state_sharding"):
+            new_state = jax.device_put(
+                new_state, new_trainer.state_sharding(new_state))
         return new_trainer, new_state

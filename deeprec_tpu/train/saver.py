@@ -256,7 +256,16 @@ def restore_table(
     """Load this shard's sub-partitions (p % num_shards == shard_index) and
     bulk-insert into a fresh table built from ``template``."""
 
-    data = _load_selected(path, shard_index, num_shards)
+    return _build_shard_from_data(_load_selected(path, shard_index,
+                                                 num_shards), template)
+
+
+def _build_shard_from_data(data: Dict[str, np.ndarray],
+                           template: ev.EmbeddingTable) -> ev.EmbeddingTable:
+    """Fresh table from ``template`` populated with pre-selected host rows
+    (and optional 'cbf' sketch) — shared by the disk restore path and the
+    in-memory elastic reshard."""
+
     keys = data["keys"]
     n = len(keys)
     cap = template.capacity
@@ -317,6 +326,114 @@ def _bulk_import(fresh: ev.EmbeddingTable, data) -> ev.EmbeddingTable:
     return fresh.replace(
         keys=new_keys, values=values, freqs=freqs, versions=versions,
         slots=slots_d, size=fresh.size + jnp.sum(inserted).astype(jnp.int32),
+    )
+
+
+def _stack_shards(shards: List[ev.EmbeddingTable]) -> ev.EmbeddingTable:
+    """Per-shard tables -> one stacked [S, ...] table, capacities aligned
+    (shards may differ after load-based growth). default_rows stays
+    replicated (one copy)."""
+
+    cap = max(sh.capacity for sh in shards)
+    shards = [ev.grow(sh, cap) if sh.capacity < cap else sh for sh in shards]
+
+    def stk(get):
+        vals = [get(sh) for sh in shards]
+        if vals[0] is None:
+            return None
+        return jnp.stack(vals)
+
+    first = shards[0]
+    return first.replace(
+        keys=stk(lambda x: x.keys),
+        values=stk(lambda x: x.values),
+        slots={k: stk(lambda x, k=k: x.slots[k]) for k in first.slots},
+        freqs=stk(lambda x: x.freqs),
+        versions=stk(lambda x: x.versions),
+        touched=stk(lambda x: x.touched),
+        cbf=stk(lambda x: x.cbf),
+        size=stk(lambda x: x.size),
+        growth_hint=stk(lambda x: x.growth_hint),
+    )
+
+
+# ---------------------------------------------------------------------------
+# in-memory reshard (the elastic fast path)
+
+
+def _select_partitions(merged: Dict[str, np.ndarray], offsets: np.ndarray,
+                       shard_index: int, num_shards: int) -> Dict:
+    """Rows of partitions p with p % num_shards == shard_index from a
+    partition-sorted in-memory dump (the RAM analogue of _select_from_npz)."""
+
+    sel = [np.arange(offsets[p], offsets[p + 1])
+           for p in range(SAVED_PARTITIONS) if p % num_shards == shard_index]
+    idx = (np.concatenate(sel) if sel else np.arange(0)).astype(np.int64)
+    return {k: v[idx] for k, v in merged.items()}
+
+
+def reshard_table_in_memory(table: ev.EmbeddingTable,
+                            template: ev.EmbeddingTable) -> ev.EmbeddingTable:
+    """Re-partition a (possibly stacked) table to ``template``'s shard
+    layout through host RAM only — no serialization, no disk round trip.
+
+    The reference repartitions EVs via the 1000-partition bundle without a
+    full dump cycle (elastic_training re-shard, embedding_var_restore.cc:
+    337-339); this is the same partition math as restore_table, fed from
+    device export instead of files.  Minutes-scale elastic rescales become
+    seconds-scale (bounded by one device_get + one bulk insert)."""
+
+    shards_in = _table_shards(table)
+    parts = [_export_table_host(sh) for sh in shards_in]
+    merged, offsets = _merge_and_partition(parts)
+    cbf = None
+    if shards_in[0].cbf is not None:
+        dt = shards_in[0].cbf.dtype
+        acc = np.zeros(shards_in[0].cbf.shape, np.int64)
+        for sh in shards_in:
+            acc += np.asarray(jax.device_get(sh.cbf), np.int64)
+        cbf = np.minimum(acc, np.iinfo(dt).max).astype(dt)
+
+    stacked_out = template.keys.ndim > 1
+    if stacked_out:
+        import jax as _jax
+
+        from deeprec_tpu.parallel.trainer import local_view
+        s = template.keys.shape[0]
+        tmpl = local_view(_jax.tree.map(
+            lambda x: x[0:1] if hasattr(x, "ndim") and x.ndim else x,
+            template))
+    else:
+        s, tmpl = 1, template
+    shards = []
+    for i in range(s):
+        data = _select_partitions(merged, offsets, i, s)
+        if cbf is not None:
+            data["cbf"] = cbf
+        shards.append(_build_shard_from_data(data, tmpl))
+    return _stack_shards(shards) if stacked_out else shards[0]
+
+
+def reshard_state(state, state_template):
+    """Old TrainState -> the template's (different) shard layout, in memory.
+    Dense params/opt state/auc/step are copied over; tables re-partition via
+    reshard_table_in_memory."""
+
+    tables = {name: reshard_table_in_memory(t, state_template.tables[name])
+              for name, t in state.tables.items()}
+    host = jax.tree.map(
+        lambda x: np.asarray(jax.device_get(x)),
+        {"params": state.params, "opt_state": state.opt_state,
+         "auc": state.auc})
+    return state_template.replace(
+        params=jax.tree.map(lambda t, h: jnp.asarray(h, t.dtype),
+                            state_template.params, host["params"]),
+        opt_state=jax.tree.map(lambda t, h: jnp.asarray(h, t.dtype),
+                               state_template.opt_state, host["opt_state"]),
+        auc=jax.tree.map(lambda t, h: jnp.asarray(h, t.dtype),
+                         state_template.auc, host["auc"]),
+        tables=tables,
+        step=jnp.asarray(int(state.step), jnp.int32),
     )
 
 
@@ -659,34 +776,10 @@ def restore_checkpoint(ckpt_path: str, state_template, *,
             import jax as _jax
 
             s = t.keys.shape[0]
-            shards = []
             tmpl = local_view(_jax.tree.map(lambda x: x[0:1], t))
-            for i in range(s):
-                shards.append(restore_table(fname, tmpl, shard_index=i,
-                                            num_shards=s))
-            # shards may differ in capacity after load-based growth: align
-            cap = max(sh_.capacity for sh_ in shards)
-            shards = [ev.grow(sh_, cap) if sh_.capacity < cap else sh_
-                      for sh_ in shards]
-
-            def stk(get, default=None):
-                vals = [get(sh_) for sh_ in shards]
-                if vals[0] is None:
-                    return None
-                return jnp.stack(vals)
-
-            first = shards[0]
-            tables[name] = first.replace(
-                keys=stk(lambda x: x.keys),
-                values=stk(lambda x: x.values),
-                slots={k: stk(lambda x, k=k: x.slots[k]) for k in first.slots},
-                freqs=stk(lambda x: x.freqs),
-                versions=stk(lambda x: x.versions),
-                touched=stk(lambda x: x.touched),
-                cbf=stk(lambda x: x.cbf),
-                size=stk(lambda x: x.size),
-                growth_hint=stk(lambda x: x.growth_hint),
-            )  # default_rows stays replicated (one copy)
+            shards = [restore_table(fname, tmpl, shard_index=i, num_shards=s)
+                      for i in range(s)]
+            tables[name] = _stack_shards(shards)
     return state_template.replace(
         params=restored_dense["params"],
         opt_state=restored_dense["opt_state"],

@@ -126,6 +126,8 @@ def test_elastic_rescale_8_to_4():
     ctl.ready_to_update(4)
     tr2, state2 = ctl.update(tr, state)
     assert tr2.num_shards == 4
+    # default path is device-to-device via host RAM: no checkpoint cut
+    assert os.listdir(ctl.ckpt_dir) == []
     # predictions preserved across the re-scale
     b = next(it)
     l1, _ = tr.eval_step(state, b)
@@ -135,6 +137,25 @@ def test_elastic_rescale_8_to_4():
     # continues training on the smaller mesh
     state2, m2 = tr2.train_step(state2, next(it))
     assert np.isfinite(float(m2["loss"]))
+
+    # grow back 4 -> 8 in memory; still bit-consistent
+    ctl.ready_to_update(8)
+    tr3, state3 = ctl.update(tr2, state2)
+    assert tr3.num_shards == 8
+    b2 = next(it)
+    l2b, _ = tr2.eval_step(state2, b2)
+    l3, _ = tr3.eval_step(state3, b2)
+    np.testing.assert_allclose(np.asarray(l3), np.asarray(l2b),
+                               rtol=1e-4, atol=1e-5)
+
+    # via_disk=True cuts a recovery checkpoint and matches too
+    ctl_disk = ElasticController(make_trainer=make_trainer, via_disk=True)
+    ctl_disk.ready_to_update(4)
+    tr4, state4 = ctl_disk.update(tr3, state3)
+    assert any(f.startswith("step_") for f in os.listdir(ctl_disk.ckpt_dir))
+    l4, _ = tr4.eval_step(state4, b2)
+    np.testing.assert_allclose(np.asarray(l4), np.asarray(l3),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_bf16_table_storage():
