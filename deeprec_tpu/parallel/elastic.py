@@ -81,3 +81,104 @@ class ElasticController:
             new_state = jax.device_put(
                 new_state, new_trainer.state_sharding(new_state))
         return new_trainer, new_state
+
+
+class ElasticService:
+    """JSON-over-HTTP control endpoint for an ElasticController — the
+    externally-drivable surface of the reference's elastic-training service
+    (ElasticGrpcServer + elastic_service.cc; protocol messages
+    elastic_training.proto:26-60, driven by an external controller such as
+    AIMaster).  Endpoints mirror the 3-phase protocol:
+
+      GET  /elastic/v1/status           → {num_shards, step, pending, ready}
+      POST /elastic/v1/is_ready_scaling → {"code": "OK"|"NOT_READY"}
+      POST /elastic/v1/ready_to_update  {"num_devices": N} → stages a rescale
+                                         (UpdateServerDefRequest role)
+
+    The training host loop calls ``maybe_update(trainer, state)`` between
+    steps; when a rescale is staged it applies ``controller.update`` (the
+    UpdateServerDef moment) and returns the rebuilt (trainer, state).
+    """
+
+    def __init__(self, controller: ElasticController, port: int = 0):
+        import json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.controller = controller
+        self._info = {"num_shards": None, "step": None}
+        self._ready = False
+        self._lock = threading.Lock()
+        svc = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _reply(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/elastic/v1/status":
+                    with svc._lock:
+                        pending = svc.controller._pending
+                        info = dict(svc._info)
+                    self._reply(200, {**info, "pending": pending,
+                                      "ready": svc._ready})
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/elastic/v1/is_ready_scaling":
+                    self._reply(200, {"code": "OK" if svc._ready
+                                      else "NOT_READY"})
+                elif self.path == "/elastic/v1/ready_to_update":
+                    try:
+                        with svc._lock:
+                            svc.controller.ready_to_update(
+                                int(payload["num_devices"]))
+                        self._reply(200, {"code": "OK"})
+                    except (KeyError, ValueError) as e:
+                        self._reply(400, {"code": "ERROR", "error": str(e)})
+                else:
+                    self._reply(404, {"error": "not found"})
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def report(self, trainer, state) -> None:
+        """Host-loop heartbeat: publish current cluster shape for /status
+        and mark the job checkpoint-consistent (SCALING_READY)."""
+
+        with self._lock:
+            self._info = {
+                "num_shards": getattr(trainer, "num_shards", 1),
+                "step": int(jax.device_get(state.step)) if state is not None
+                        else None,
+            }
+            self._ready = self.controller.is_ready_scaling(trainer, state)
+
+    def maybe_update(self, trainer, state):
+        """Apply a staged rescale if one is pending (call between steps)."""
+
+        with self._lock:
+            pending = self.controller._pending is not None
+        if not pending:
+            return trainer, state
+        trainer, state = self.controller.update(trainer, state)
+        self.report(trainer, state)
+        return trainer, state
+
+    def close(self):
+        self._server.shutdown()
+        self._server.server_close()

@@ -10,6 +10,16 @@ but the endpoint contract matches ``process()``/``get_serving_model_info``:
   POST /v1/models/<name>:predict  multi-model predict (ModelManager)
   GET  /v1/model                  serving model info JSON
   GET  /v1/models                 {name: info} for every hosted model
+
+Additionally speaks the KServe / Open Inference Protocol v2 — the HTTP API
+of the reference's Triton deployment path (addons/triton,
+docs_en/SessionGroup.md §TF-Serving) — so standard clients
+(tritonclient.http, KServe) can hit it without a custom SDK:
+
+  GET  /v2/health/live | /v2/health/ready
+  GET  /v2/models/<name>          model metadata (inputs/outputs)
+  GET  /v2/models/<name>/ready
+  POST /v2/models/<name>/infer    {"inputs": [{name, shape, datatype, data}]}
 """
 
 from __future__ import annotations
@@ -21,6 +31,50 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from deeprec_tpu.serve.processor import Processor
+
+
+_V2_DTYPES = {"FP32": np.float32, "FP64": np.float64,
+              "INT32": np.int32, "INT64": np.int64}
+
+
+def _v2_metadata(proc) -> dict:
+    """Open-Inference-Protocol model metadata from the model's specs."""
+
+    inputs = [{"name": "dense", "datatype": "FP32",
+               "shape": [-1, proc.model.dense_dim]}]
+    seen = set()
+    for name, spec in proc.model.table_specs.items():
+        for col in [spec.feature or name] + list(spec.shared_features):
+            if col in seen:
+                continue
+            seen.add(col)
+            seq = spec.sequence or col.startswith("hist")
+            inputs.append({"name": col, "datatype": "INT32",
+                           "shape": [-1, spec.seq_len] if seq else [-1]})
+    return {"name": proc.model.name, "platform": "deeprec_tpu",
+            "versions": [str(proc.get_serving_model_info()["version"])],
+            "inputs": inputs,
+            "outputs": [{"name": "scores", "datatype": "FP32",
+                         "shape": [-1]}]}
+
+
+def _v2_request_to_batch(req: dict) -> dict:
+    """Decode OIP inputs into the Processor's request dict."""
+
+    dense = None
+    cat = {}
+    for inp in req["inputs"]:
+        dt = _V2_DTYPES.get(inp.get("datatype", "FP32"))
+        if dt is None:
+            raise ValueError(f"unsupported datatype {inp['datatype']!r}")
+        arr = np.asarray(inp["data"], dt).reshape(inp["shape"])
+        if inp["name"] == "dense":
+            dense = arr.astype(np.float32)
+        else:
+            cat[inp["name"]] = arr.astype(np.int32)
+    if dense is None:
+        raise ValueError("missing input tensor 'dense'")
+    return {"dense": dense, "cat": cat}
 
 
 def make_handler(target):
@@ -43,11 +97,37 @@ def make_handler(target):
             self.end_headers()
             self.wfile.write(body)
 
+        def _v2_model(self, name):
+            """Resolve a /v2 model name: manager lookup, or the single
+            processor when the name matches its model."""
+
+            if manager is not None:
+                return manager.get(name)
+            if processor is not None and name == processor.model.name:
+                return processor
+            raise KeyError(f"unknown model {name!r}")
+
         def do_GET(self):
             if self.path == "/v1/model" and processor is not None:
                 self._send(200, processor.get_serving_model_info())
             elif self.path == "/v1/models" and manager is not None:
                 self._send(200, manager.info())
+            elif self.path in ("/v2/health/live", "/v2/health/ready"):
+                self._send(200, {})
+            elif self.path.startswith("/v2/models/"):
+                rest = self.path[len("/v2/models/"):]
+                name, _, tail = rest.partition("/")
+                try:
+                    proc = self._v2_model(name)
+                except KeyError as e:
+                    self._send(404, {"error": str(e)})
+                    return
+                if tail == "ready":
+                    self._send(200, {})
+                elif tail == "":
+                    self._send(200, _v2_metadata(proc))
+                else:
+                    self._send(404, {"error": "unknown path"})
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -58,6 +138,10 @@ def make_handler(target):
                     and self.path.endswith(":predict")):
                 name = self.path[len("/v1/models/"):-len(":predict")]
                 return manager.get(name)
+            if (self.path.startswith("/v2/models/")
+                    and self.path.endswith("/infer")):
+                name = self.path[len("/v2/models/"):-len("/infer")]
+                return self._v2_model(name)
             return None
 
         def do_POST(self):
@@ -72,6 +156,16 @@ def make_handler(target):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
+                if self.path.endswith("/infer"):     # OIP v2 frame
+                    request = _v2_request_to_batch(req)
+                    scores = proc.predict(request)
+                    self._send(200, {
+                        "model_name": proc.model.name,
+                        "id": req.get("id", ""),
+                        "outputs": [{"name": "scores", "datatype": "FP32",
+                                     "shape": [len(scores)],
+                                     "data": scores.tolist()}]})
+                    return
                 request = {
                     "dense": np.asarray(req["dense"], np.float32),
                     "cat": {k: np.asarray(v, np.int32)

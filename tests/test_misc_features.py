@@ -319,3 +319,78 @@ def test_staleness_survives_growth():
     gen = SyntheticCriteo(batch_size=256, num_ids_per_col=5000, seed=2)
     state = tr.fit(state, iter(gen), steps=30, grow_every=5, log_every=0)
     assert int(state.step) == 30
+
+
+def test_elastic_service_http_endpoint():
+    """External-controller surface: stage a rescale over HTTP, host loop
+    applies it between steps (ElasticGrpcServer / elastic_training.proto
+    role)."""
+
+    import json
+    import urllib.request
+
+    from deeprec_tpu.parallel.elastic import ElasticController, ElasticService
+
+    model = tiny_model(n_cols=2)
+
+    def make_trainer(mesh):
+        return DistributedTrainer(
+            model=model, mesh=mesh,
+            sparse_optimizer=sparse.adagrad(lr=0.05),
+            dense_tx=optax.adagrad(0.05), per_shard_capacity=2 ** 10)
+
+    mesh8 = Mesh(np.asarray(jax.devices()), ("data",))
+    tr = make_trainer(mesh8)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=500, seed=3)
+    it = iter(gen)
+    state, _ = tr.train_step(state, next(it))
+
+    svc = ElasticService(ElasticController(make_trainer=make_trainer))
+    try:
+        base_url = f"http://127.0.0.1:{svc.port}/elastic/v1"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"{base_url}/{path}", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        # not ready until the host loop reports a consistent state
+        assert post("is_ready_scaling", {})["code"] == "NOT_READY"
+        svc.report(tr, state)
+        assert post("is_ready_scaling", {})["code"] == "OK"
+
+        # nothing staged: maybe_update is a no-op
+        tr2, state2 = svc.maybe_update(tr, state)
+        assert tr2 is tr
+
+        assert post("ready_to_update", {"num_devices": 4})["code"] == "OK"
+        with urllib.request.urlopen(f"{base_url}/status") as r:
+            st = json.loads(r.read())
+        assert st["pending"] == 4 and st["num_shards"] == 8
+
+        tr2, state2 = svc.maybe_update(tr, state)
+        assert tr2.num_shards == 4
+        with urllib.request.urlopen(f"{base_url}/status") as r:
+            assert json.loads(r.read())["num_shards"] == 4
+
+        # predictions preserved across the HTTP-driven rescale
+        b = next(it)
+        l1, _ = tr.eval_step(state, b)
+        l2, _ = tr2.eval_step(state2, b)
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   rtol=1e-4, atol=1e-5)
+
+        # over-subscription rejected with 400
+        req = urllib.request.Request(
+            f"{base_url}/ready_to_update",
+            data=json.dumps({"num_devices": 64}).encode())
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        svc.close()

@@ -364,3 +364,71 @@ def test_ev_storage_tiered_serving(tmp_path):
         want = 1 / (1 + np.exp(-np.asarray(logits, np.float64)))
         np.testing.assert_allclose(scores, want, rtol=1e-4, atol=1e-5)
     p.shutdown()
+
+
+def test_kserve_v2_inference_protocol(tmp_path):
+    """Open Inference Protocol v2 (the Triton HTTP API role): health,
+    metadata, and infer round-trip matching /v1/predict scores."""
+
+    import json
+    import urllib.request
+
+    from deeprec_tpu.serve.http_server import ServingServer
+
+    model, tr, state, it = _train_and_save(tmp_path)
+    p = Processor(model, {"session_num": 1, "bucket_sizes": [32],
+                          "warmup": False})
+    p.initialize(str(tmp_path))
+    srv = ServingServer(p, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def get(path):
+            return json.loads(urllib.request.urlopen(base + path,
+                                                     timeout=30).read())
+
+        get("/v2/health/live")
+        get("/v2/health/ready")
+        meta = get(f"/v2/models/{model.name}")
+        assert meta["name"] == model.name
+        in_names = {i["name"] for i in meta["inputs"]}
+        assert "dense" in in_names
+        assert meta["outputs"][0]["name"] == "scores"
+        get(f"/v2/models/{model.name}/ready")
+
+        b = next(it)
+        n = 5
+        inputs = [{"name": "dense", "datatype": "FP32",
+                   "shape": [n, b["dense"].shape[1]],
+                   "data": b["dense"][:n].reshape(-1).tolist()}]
+        for col, v in b["cat"].items():
+            inputs.append({"name": col, "datatype": "INT32",
+                           "shape": list(v[:n].shape),
+                           "data": v[:n].reshape(-1).tolist()})
+        req = urllib.request.Request(
+            f"{base}/v2/models/{model.name}/infer",
+            data=json.dumps({"id": "req-1", "inputs": inputs}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert out["model_name"] == model.name and out["id"] == "req-1"
+        scores = out["outputs"][0]["data"]
+        assert len(scores) == n
+
+        # must match the v1 surface bit-for-bit
+        v1req = urllib.request.Request(
+            base + "/v1/predict",
+            data=json.dumps({"dense": b["dense"][:n].tolist(),
+                             "cat": {k: v[:n].tolist()
+                                     for k, v in b["cat"].items()}}).encode())
+        v1 = json.loads(urllib.request.urlopen(v1req, timeout=60).read())
+        np.testing.assert_allclose(scores, v1["scores"], rtol=1e-6)
+
+        # unknown model -> 404
+        try:
+            urllib.request.urlopen(base + "/v2/models/nope", timeout=30)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
+        p.shutdown()

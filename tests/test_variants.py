@@ -184,3 +184,71 @@ def test_variants_rejected_on_distributed_trainer():
         DistributedTrainer(model=model, mesh=mesh,
                            sparse_optimizer=sparse.adagrad(lr=0.05),
                            dense_tx=optax.adagrad(0.05))
+
+
+# ---------------------------------------------------------------------------
+# HashTable v2 object surface (python/ops/hash_table/: HashTable,
+# BloomFilterAdmitStrategy, GlobalStepFilter/L2WeightFilter)
+
+
+def test_hash_table_v2_slots_and_snapshot():
+    from deeprec_tpu.embedding import hash_table as ht
+
+    t = ht.HashTable(dim=4, capacity=2 ** 8, initializer="zeros")
+    t = t.with_slot("accum", init=0.1)
+    assert t.slots == ("accum",)
+    assert t.get_slot("accum").shape == (2 ** 8, 4)
+
+    keys = jnp.array([5, 9, 5, 11], jnp.int32)
+    t, rows, lk = t.lookup_or_insert(keys)
+    assert t.size == 3
+    assert rows.shape == (4, 4)
+    # explicit upsert then read back
+    t = t.insert([42], np.full((1, 4), 7.0, np.float32))
+    got = t.lookup([42, 12345])
+    np.testing.assert_allclose(np.asarray(got[0]), 7.0)
+    np.testing.assert_allclose(np.asarray(got[1]), 0.0)  # missing -> default
+    ks, vs = t.snapshot()
+    assert set(ks.tolist()) == {5, 9, 11, 42}
+    t = t.erase([42])
+    assert not bool(t.contains(jnp.array([42]))[0])
+
+
+def test_hash_table_v2_bloom_admit():
+    from deeprec_tpu.embedding import hash_table as ht
+
+    t = ht.HashTable(dim=2, capacity=2 ** 8,
+                     admit=ht.BloomFilterAdmitStrategy(minimum_frequency=3))
+    k = jnp.array([77], jnp.int32)
+    t, _, _ = t.lookup_or_insert(k)      # est 1 < 3: not admitted
+    t, _, _ = t.lookup_or_insert(k)      # est 2
+    assert t.size == 0
+    t, _, _ = t.lookup_or_insert(k)      # est 3 -> inserted
+    assert t.size == 1
+
+
+def test_hash_table_v2_filters():
+    from deeprec_tpu.embedding import hash_table as ht
+
+    t = ht.HashTable(dim=2, capacity=2 ** 8, initializer="zeros",
+                     filters=(ht.GlobalStepFilter(filter_interval_steps=10),))
+    t, _, _ = t.lookup_or_insert(jnp.array([1, 2], jnp.int32), step=0)
+    t, _, _ = t.lookup_or_insert(jnp.array([2], jnp.int32), step=9)
+    # at step 20: key 1 (version 0) is stale (< 20-10), key 2 (version 9) kept
+    # ... but version only updates on INSERT; re-lookup of key 2 at step 9
+    # does not bump it.  Use a fresh key at step 15 instead.
+    t, _, _ = t.lookup_or_insert(jnp.array([3], jnp.int32), step=15)
+    t2 = t.filter_step(20)
+    assert not bool(t2.contains(jnp.array([1]))[0])
+    assert bool(t2.contains(jnp.array([3]))[0])
+    # off-cadence step: no-op
+    assert t.filter_step(21) is t
+
+    tl = ht.HashTable(dim=2, capacity=2 ** 8,
+                      filters=(ht.L2WeightFilter(threshold=1e-9,
+                                                 filter_interval_steps=5),))
+    tl, _, _ = tl.lookup_or_insert(jnp.array([4], jnp.int32))
+    tl = tl.insert([5], np.zeros((1, 2), np.float32))   # zero row -> filtered
+    tl2 = tl.filter_step(5)
+    assert bool(tl2.contains(jnp.array([4]))[0])
+    assert not bool(tl2.contains(jnp.array([5]))[0])
