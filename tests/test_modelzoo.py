@@ -142,3 +142,43 @@ def test_every_model_learns(name):
     state = tr.fit(state, iter(gen), steps=150, log_every=0)
     m = tr.evaluate(state, iter(egen), 8)
     assert m["auc"] > 0.62, (name, m)
+
+
+def test_gru_hoist_matches_naive_recurrence():
+    """The input-projection-hoisted GRU/AUGRU (one big MXU matmul for the x
+    half of every gate) is numerically the naive concat-matmul recurrence."""
+
+    from deeprec_tpu.models import nn
+
+    key = jax.random.PRNGKey(3)
+    b, l, d, h = 4, 7, 6, 5
+    p = nn.gru_init(key, d, h)
+    xs = jax.random.normal(jax.random.PRNGKey(4), (b, l, d))
+    mask = jnp.arange(l)[None, :] < jnp.array([[7], [3], [5], [1]])
+    att = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(5), (b, l)))
+
+    def naive(p, xs, mask, att=None):
+        hs = jnp.zeros((b, h))
+        outs = []
+        for t in range(l):
+            x = xs[:, t]
+            xi = jnp.concatenate([x, hs], axis=-1)
+            z = jax.nn.sigmoid(xi @ p["wz"] + p["bz"])
+            r = jax.nn.sigmoid(xi @ p["wr"] + p["br"])
+            xh = jnp.concatenate([x, r * hs], axis=-1)
+            hh = jnp.tanh(xh @ p["wh"] + p["bh"])
+            zz = z if att is None else att[:, t, None] * z
+            h_new = (1 - zz) * hs + zz * hh
+            hs = jnp.where(mask[:, t, None], h_new, hs)
+            outs.append(hs)
+        return jnp.stack(outs, axis=1), hs
+
+    want_o, want_f = naive(p, xs, mask)
+    got_o, got_f = nn.gru_apply(p, xs, mask)
+    np.testing.assert_allclose(got_o, want_o, atol=1e-5)
+    np.testing.assert_allclose(got_f, want_f, atol=1e-5)
+
+    want_o, want_f = naive(p, xs, mask, att)
+    got_o, got_f = nn.augru_apply(p, xs, att, mask)
+    np.testing.assert_allclose(got_o, want_o, atol=1e-5)
+    np.testing.assert_allclose(got_f, want_f, atol=1e-5)
