@@ -87,7 +87,12 @@ def bench_model(name: str, batch: int, measure: int = 32,
         _ = float(mm["loss"])
         return time.perf_counter() - t0
 
-    w1, w2 = measure // 4, measure
+    # Slope windows must span enough device time that the window difference
+    # dwarfs the ~30 ms tunnel round-trip noise; size them from a probe so
+    # fast models (sub-ms steps) don't produce garbage slopes.
+    est = window(8) / 8                       # upper bound incl. readback
+    w1 = min(2000, max(measure // 4, int(0.8 / max(est, 1e-5))))
+    w2 = 4 * w1
     best = 0.0
     for _ in range(2):
         t1 = window(w1)

@@ -418,6 +418,7 @@ def _lookup_phase(
     step: jnp.ndarray | int = 0,
     train: bool = True,
     external_counts: Optional[jnp.ndarray] = None,
+    init_rows: Optional[jnp.ndarray] = None,
 ) -> Tuple[EmbeddingTable, Lookup]:
     """Resolve a batch of raw (possibly duplicated) ids to table slots.
 
@@ -430,6 +431,11 @@ def _lookup_phase(
     ``external_counts`` (same shape as ids) overrides the per-position
     occurrence count of 1 — used by the sharded path, where each received id
     already aggregates several source occurrences.
+
+    ``init_rows`` ([N, D], aligned with the flattened ids) overrides the
+    default pool for freshly inserted rows — the ``ev_init_value`` mechanism
+    of adaptive embedding (embedding_ops.py:667: new EV rows start from the
+    learned static-table row, migrating what the hash bucket learned).
     """
 
     ids = ids.reshape(-1).astype(table.key_dtype)
@@ -481,11 +487,15 @@ def _lookup_phase(
 
         def do_insert(operands):
             values, slot_arrays, versions = operands
-            dvd = table.default_rows.shape[0]
-            row_sel = hashing.bucket(uids, dvd, salt=7)
-            init_rows = table.default_rows[row_sel]
+            if init_rows is None:
+                dvd = table.default_rows.shape[0]
+                row_sel = hashing.bucket(uids, dvd, salt=7)
+                fresh_rows = table.default_rows[row_sel]
+            else:
+                fresh_rows = jax.lax.stop_gradient(
+                    init_rows.reshape(-1, table.dim).astype(table.value_dtype))
             ins_slot = jnp.where(inserted, slot_ids, no_slot)
-            values = values.at[ins_slot].set(init_rows, mode="drop")
+            values = values.at[ins_slot].set(fresh_rows, mode="drop")
             # Reset recycled rows' optimizer slots to their init value:
             # rebuilds zero-fill dead rows, and a fresh key must not inherit
             # that zero (adagrad rsqrt(0) = inf -> NaN on first apply).

@@ -194,7 +194,7 @@ class Trainer:
 
     # -- grouped lookup plumbing -------------------------------------------
 
-    def _grouped_lookup(self, tables, features, step, train):
+    def _grouped_lookup(self, tables, features, step, train, params=None):
         """One lookup-or-insert per physical table; returns per-feature
         (physical name, inverse-slice) handles for combine."""
 
@@ -226,10 +226,47 @@ class Trainer:
             flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
             tbl, lk = ev.lookup_phase(new_tables[pname], flat, step=step,
                                       train=train)
+            if train and not grouped and params is not None:
+                spec0 = self.model.table_specs[pspec.members[0][0]]
+                if getattr(spec0, "variant", None) == "adaptive":
+                    tbl = self._adaptive_migrate(spec0, tbl, lk, flat, params,
+                                                 pspec.members[0][0])
             new_tables[pname] = tbl
             lks[pname] = lk
             gathered[pname] = ev.collect(tbl, lk)
         return new_tables, lks, gathered, handles
+
+    def _adaptive_migrate(self, spec, tbl, lk, flat_ids, params, lname):
+        """Adaptive-embedding migration (the reference's ``ev_init_value``,
+        embedding_ops.py:667): the step an id's frequency crosses
+        ``adaptive_threshold`` its EV row is seeded from the static
+        hash-bucket row it trained while cold, so the learned representation
+        carries over instead of restarting from a fresh init."""
+
+        from deeprec_tpu.ops import hashing
+
+        th = spec.adaptive_threshold
+        cap = tbl.capacity
+        safe = jnp.where(lk.slot_ids < cap, lk.slot_ids, jnp.int32(cap))
+        f_after = tbl.freqs.at[safe].get(mode="fill", fill_value=0)
+        # per-slot total count contributed by THIS batch -> pre-batch freq
+        cbuf = jnp.zeros((cap + 1,), jnp.int32).at[safe].add(
+            jnp.where(lk.valid, lk.counts, 0), mode="drop")
+        f_before = f_after - cbuf[safe]
+        crossed = lk.valid & (lk.slot_ids < cap) \
+            & (f_after >= th) & (f_before < th)
+
+        def migrate(values):
+            static = params["_variants"][lname]
+            bkt = hashing.bucket(flat_ids, static.shape[0], salt=3)
+            rows = jax.lax.stop_gradient(
+                static[bkt].astype(tbl.value_dtype))
+            dst = jnp.where(crossed, lk.slot_ids, jnp.int32(cap))
+            return values.at[dst].set(rows, mode="drop")
+
+        values = jax.lax.cond(jnp.any(crossed), migrate,
+                              lambda v: v, tbl.values)
+        return tbl.replace(values=values)
 
     def _make_acts(self, gathered, lks, handles, features, tables,
                    params=None):
@@ -300,7 +337,7 @@ class Trainer:
         model = self.model
         features = make_features(model, batch)
         tables, lks, gathered, handles = self._grouped_lookup(
-            state.tables, features, state.step, True
+            state.tables, features, state.step, True, params=state.params
         )
 
         def loss_fn(params, gathered):
@@ -391,7 +428,7 @@ class Trainer:
             mb = jax.tree.map(lambda x: x[i * sz:(i + 1) * sz], batch)
             features = make_features(model, mb)
             tables, lks, gathered, handles = self._grouped_lookup(
-                tables, features, state.step, True)
+                tables, features, state.step, True, params=state.params)
 
             def loss_fn(params, gathered, mb=mb, lks=lks, handles=handles,
                         features=features, tables=tables):

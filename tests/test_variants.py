@@ -252,3 +252,71 @@ def test_hash_table_v2_filters():
     tl2 = tl.filter_step(5)
     assert bool(tl2.contains(jnp.array([4]))[0])
     assert not bool(tl2.contains(jnp.array([5]))[0])
+
+
+def test_adaptive_migration_seeds_ev_from_static_row():
+    """The step an id crosses adaptive_threshold, its EV row is seeded from
+    the static hash-bucket row it trained while cold (the reference's
+    ev_init_value migration, embedding_ops.py:667) — not a fresh init."""
+
+    import optax
+    from deeprec_tpu.models import base, nn
+    from deeprec_tpu.optimizers import sparse
+    from deeprec_tpu.ops import hashing
+    from deeprec_tpu.train.loop import Trainer
+
+    spec = base.TableSpec(name="C1", dim=4, variant="adaptive",
+                          adaptive_buckets=32, adaptive_threshold=4,
+                          initial_capacity=2 ** 8)
+
+    def init_params(key):
+        return {"w": jnp.ones((4,), jnp.float32)}
+
+    def forward(params, batch, acts, train=True):
+        return acts["C1"] @ params["w"].astype(acts["C1"].dtype)
+
+    model = base.RecModel(name="adaptive_mig", table_specs={"C1": spec},
+                          init_params=init_params, forward=forward,
+                          dense_dim=1)
+    tables = base.make_tables(model)
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.1),
+                 dense_tx=optax.adagrad(0.1))
+    state = tr.init_state(jax.random.PRNGKey(0))
+
+    def batch(ids):
+        ids = np.asarray(ids, np.int32)
+        return {"dense": np.zeros((len(ids), 1), np.float32),
+                "cat": {"C1": ids},
+                "label": np.ones((len(ids),), np.float32)}
+
+    # 3 cold sightings: static bucket row trains, EV row untouched
+    for _ in range(3):
+        state, _ = tr.train_step(state, batch([7]))
+    # copy now: train state is donated, device buffers die on the next step
+    static = np.asarray(state.params["_variants"]["C1"])
+    bkt = int(hashing.bucket(jnp.array([7], jnp.int32), 32, salt=3)[0])
+    trained_static_row = static[bkt]
+    init_static_row = np.asarray(
+        tr.init_state(jax.random.PRNGKey(0)).params["_variants"]["C1"][bkt])
+    assert not np.allclose(trained_static_row, init_static_row)  # it learned
+
+    # 4th sighting crosses the threshold -> migration
+    state, _ = tr.train_step(state, batch([7]))
+    t = state.tables["C1"]
+    _, lk = ev.lookup_phase(t, jnp.array([7], jnp.int32), train=False)
+    ev_row = np.asarray(t.values[int(lk.slot_ids[0])])
+    # EV row = migrated static row + one optimizer update ON that row;
+    # it must be far closer to the trained static row than to a fresh init.
+    d_mig = np.linalg.norm(ev_row - trained_static_row)
+    d_init = np.linalg.norm(ev_row - init_static_row)
+    assert d_mig < 0.2 and d_init > 0.05, (ev_row, trained_static_row)
+
+    # a different id seen once stays cold: present in the EV but un-migrated
+    state, _ = tr.train_step(state, batch([9]))
+    t = state.tables["C1"]
+    assert bool(ev.contains(t, jnp.array([9, 7], jnp.int32))[0])
+    _, lk9 = ev.lookup_phase(t, jnp.array([9], jnp.int32), train=False)
+    row9 = np.asarray(t.values[int(lk9.slot_ids[0])])
+    b9 = int(hashing.bucket(jnp.array([9], jnp.int32), 32, salt=3)[0])
+    assert not np.allclose(row9, np.asarray(static[b9]))
