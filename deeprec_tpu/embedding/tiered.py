@@ -110,7 +110,7 @@ class TieredTable:
         """Flush the coldest rows down-tier; rebuild the hot table."""
 
         k = max(1, int(table.capacity * self.evict_fraction))
-        keys, rows, freqs, mask = _demote_select(
+        keys, rows, freqs, idx, mask = _demote_select(
             table, k, slot_names=self.slot_names,
             slot_widths=self.slot_widths, dim=self.dim,
             strategy=self.strategy)
@@ -121,6 +121,61 @@ class TieredTable:
         if valid.any():
             self.cold.upsert(keys_h[valid].astype(np.int64), rows_h[valid],
                              freqs_h[valid].astype(np.uint32))
+        table = ev._apply_evict(table, mask)
+        return ev._rebuild(table, table.capacity)
+
+    # -- background (two-phase) demotion ------------------------------------
+    # The reference evicts from a shared background thread pool
+    # (eviction_manager.h:39, TF_MULTI_TIER_EV_EVICTION_THREADS) so the
+    # training step never pays the down-tier copy.  Functional-JAX shape of
+    # the same idea: ``begin_demote`` dispatches the victim selection and
+    # starts the device->host copy of the victims' rows, then training steps
+    # proceed while the transfer drains; ``finish_demote`` (a later
+    # between-steps call) commits — but only for victims whose key AND
+    # frequency are unchanged since the snapshot, because a touched victim's
+    # exported row is stale (tier-0 got updates) and its warmth disqualifies
+    # it anyway.  Touched victims simply stay hot for the next round.
+    # Slot indices stay valid across the window: the table is only rebuilt
+    # by demote/grow, which cannot interleave (both run under the trainer's
+    # tier lock from the same host loop).
+
+    def begin_demote(self, table: ev.EmbeddingTable) -> None:
+        """Phase A: select victims + start their async device->host copy."""
+
+        if getattr(self, "_pending", None) is not None:
+            return
+        k = max(1, int(table.capacity * self.evict_fraction))
+        keys, rows, freqs, idx, _ = _demote_select(
+            table, k, slot_names=self.slot_names,
+            slot_widths=self.slot_widths, dim=self.dim,
+            strategy=self.strategy)
+        for arr in (keys, rows, freqs, idx):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass                     # backend without async copy: the
+        self._pending = (keys, rows, freqs, idx)   # fetch blocks at finish
+
+    @property
+    def has_pending_demote(self) -> bool:
+        return getattr(self, "_pending", None) is not None
+
+    def finish_demote(self, table: ev.EmbeddingTable) -> ev.EmbeddingTable:
+        """Phase B: commit untouched victims down-tier, rebuild the hot
+        table.  Must run between steps (the caller holds the tier lock)."""
+
+        keys, rows, freqs, idx = self._pending
+        self._pending = None
+        ok, mask = _demote_commit_mask(table, keys, freqs, idx)
+        keys_h = np.asarray(jax.device_get(keys))
+        rows_h = np.asarray(jax.device_get(rows))
+        freqs_h = np.asarray(jax.device_get(freqs))
+        ok_h = np.asarray(jax.device_get(ok))
+        if ok_h.any():
+            self.cold.upsert(keys_h[ok_h].astype(np.int64), rows_h[ok_h],
+                             freqs_h[ok_h].astype(np.uint32))
+        if not ok_h.any():
+            return table
         table = ev._apply_evict(table, mask)
         return ev._rebuild(table, table.capacity)
 
@@ -205,9 +260,24 @@ def _demote_select_body(table, k, *, slot_names, slot_widths, dim,
     freqs = table.freqs[idx]
     mask = jnp.zeros((table.capacity,), jnp.bool_).at[
         jnp.where(sel_live, idx, table.capacity)].set(True, mode="drop")
-    return keys, rows, freqs, mask
+    return keys, rows, freqs, idx, mask
 
 
 _demote_select = jax.jit(
     _demote_select_body,
     static_argnames=("k", "slot_names", "slot_widths", "dim", "strategy"))
+
+
+@jax.jit
+def _demote_commit_mask(table, keys, freqs_snap, idx):
+    """Which snapshot victims are still safely demotable: key unchanged at
+    its slot AND frequency unchanged (any training touch bumps freq, so
+    freq-equality proves the exported row is still the authoritative one)."""
+
+    cur_keys = table.keys[idx]
+    cur_freqs = table.freqs[idx]
+    ok = ((keys != table.empty) & (cur_keys == keys)
+          & (cur_freqs == freqs_snap))
+    mask = jnp.zeros((table.capacity,), jnp.bool_).at[
+        jnp.where(ok, idx, table.capacity)].set(True, mode="drop")
+    return ok, mask

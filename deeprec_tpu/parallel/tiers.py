@@ -182,7 +182,7 @@ class ShardedTiers:
 
             def select(tbl):
                 t = local_view(tbl)
-                keys, rows, freqs, mask = _demote_select_body(
+                keys, rows, freqs, _idx, mask = _demote_select_body(
                     t, k, slot_names=sn, slot_widths=sw, dim=d,
                     strategy=self.strategy)
                 return keys[None], rows[None], freqs[None], mask[None]

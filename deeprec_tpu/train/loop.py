@@ -560,10 +560,21 @@ class Trainer:
         with self._tier_lock:
             for n, t in tables.items():
                 if self.tiers and n in self.tiers:
-                    # HBM budget is fixed: demote cold rows instead of growing
-                    if self.tiers[n].needs_demote(t):
-                        tables[n] = self.tiers[n].demote(t)
+                    # HBM budget is fixed: demote cold rows instead of
+                    # growing.  Two-phase by default (begin: async victim
+                    # export overlaps the next steps; finish: cheap commit) —
+                    # synchronous only under insert-overflow pressure, where
+                    # waiting a grow_every window would drop ids.
+                    tier = self.tiers[n]
+                    if tier.has_pending_demote:
+                        tables[n] = tier.finish_demote(t)
                         changed = True
+                    elif tier.needs_demote(t):
+                        if int(jax.device_get(t.growth_hint)) > 0:
+                            tables[n] = tier.demote(t)
+                            changed = True
+                        else:
+                            tier.begin_demote(t)
                 elif ev.needs_grow(t):
                     tables[n] = ev.maybe_grow(t)
                     changed = True

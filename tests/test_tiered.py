@@ -245,3 +245,79 @@ def test_lru_demotion_scores_by_recency_not_frequency():
     assert lru_cold and all(k < 50 for k in lru_cold), lru_cold
     # LFU evicts the recent-but-rare new ids
     assert lfu_cold and all(k >= 100 for k in lfu_cold), lfu_cold
+
+
+def test_two_phase_background_demotion():
+    """begin_demote snapshots victims + starts the async export; training
+    touches between begin and finish disqualify a victim (its exported row
+    is stale); finish_demote commits only untouched victims bit-exactly."""
+
+    t = ev.create("t", dim=4, capacity=256,
+                  option=cfg.EmbeddingVariableOption())
+    o = sparse.adagrad(lr=0.1)
+    t = o.init(t)
+    ids = jnp.arange(100, dtype=jnp.int32)
+    t, lk = ev.lookup_phase(t, ids, step=1)
+    t = o.apply(t, lk, jnp.ones((lk.uids.shape[0], 4)), step=1)
+
+    tier = TieredTable(t, evict_fraction=0.5)
+    assert not tier.has_pending_demote
+    tier.begin_demote(t)
+    assert tier.has_pending_demote
+    # second begin is a no-op while one is pending
+    tier.begin_demote(t)
+
+    # between begin and finish: training touches ids 0..9 (they may or may
+    # not be in the victim set; any that are must NOT be demoted)
+    touched = jnp.arange(10, dtype=jnp.int32)
+    t, lk2 = ev.lookup_phase(t, touched, step=2)
+    t = o.apply(t, lk2, jnp.full((10, 4), 2.0), step=2)
+    touched_vals = np.asarray(ev.lookup(t, touched)).copy()
+
+    t2 = tier.finish_demote(t)
+    assert not tier.has_pending_demote
+    n_cold = tier.cold.size
+    assert n_cold > 0
+    assert int(t2.size) == 100 - n_cold
+    # every touched id is still hot with its post-touch value
+    assert bool(np.asarray(ev.contains(t2, touched)).all())
+    np.testing.assert_array_equal(np.asarray(ev.lookup(t2, touched)),
+                                  touched_vals)
+    # demoted rows promote back bit-exactly
+    before = np.asarray(ev.lookup(t, ids))
+    payload = tier.prepare(np.asarray(ids), t2.empty)
+    t3 = tier.promote(t2, payload)
+    np.testing.assert_array_equal(np.asarray(ev.lookup(t3, ids)), before)
+
+
+def test_two_phase_demotion_in_trainer_loop():
+    """Trainer.maybe_grow drives begin/finish across windows; tiered
+    training with background demotion still learns and loses nothing."""
+
+    import dataclasses
+    import optax
+    from deeprec_tpu.data.synthetic import SyntheticCriteo
+    from deeprec_tpu.models import base
+    from deeprec_tpu.models import wdl
+    from deeprec_tpu.train.loop import Trainer
+
+    model = wdl.MODEL
+    specs = {n: dataclasses.replace(s, initial_capacity=2 ** 10)
+             for n, s in model.table_specs.items()}
+    model = dataclasses.replace(model, table_specs=specs)
+    tables = base.make_tables(model, capacity=2 ** 10)
+    tiers = {n: TieredTable(t, hot_watermark=0.5, evict_fraction=0.4)
+             for n, t in ((n, sparse.adagrad(lr=0.05).init(t))
+                          for n, t in tables.items())}
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05), tiers=tiers)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=128, num_ids_per_col=3000, seed=4)
+    state = tr.fit(state, iter(gen), steps=60, grow_every=5, log_every=0)
+    # demotions happened (cold tier populated) and training stayed sane
+    assert any(t.cold.size > 0 for t in tiers.values())
+    m = tr.evaluate(state, iter(SyntheticCriteo(batch_size=128,
+                                                num_ids_per_col=3000,
+                                                seed=9)), 4)
+    assert np.isfinite(m["loss"]) and m["auc"] > 0.55, m
