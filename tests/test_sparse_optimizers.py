@@ -194,3 +194,68 @@ def test_duplicate_ids_single_update():
     t = o.apply(t, lk, gu)
     got = np.asarray(ev.lookup(t, jnp.array([7], jnp.int32)))[0]
     np.testing.assert_allclose(got, [-3.0, -3.0])
+
+
+@pytest.mark.parametrize("name", sorted(OPTS))
+@pytest.mark.parametrize("policy", ["ttl", "l2"])
+def test_optimizer_eviction_matrix(name, policy):
+    """Every optimizer × shrink policy (globalstep_shrink_policy.h /
+    l2weight_shrink_policy.h): eviction drops the stale/weak key and keeps
+    the live one, and a re-inserted key restarts from FRESH optimizer state
+    (slot re-init — no inherited accumulators, no NaN), the reference's
+    evict-then-recreate semantics."""
+
+    dim = 4
+    if policy == "ttl":
+        opt = cfg.EmbeddingVariableOption(
+            init=cfg.InitializerOption(initializer="zeros"),
+            global_step_evict=cfg.GlobalStepEvictOption(steps_to_live=5))
+    else:
+        opt = cfg.EmbeddingVariableOption(
+            init=cfg.InitializerOption(initializer="zeros"),
+            l2_weight_evict=cfg.L2WeightEvictOption(l2_weight_threshold=1e-6))
+    t = ev.create("t", dim=dim, capacity=64, option=opt)
+    o = OPTS[name]()
+    t = o.init(t)
+    rng = np.random.RandomState(1)
+    g_big = rng.randn(dim).astype(np.float32)
+
+    # key 7: one zero-gradient touch at step 0 (stale, weight stays 0 —
+    # adaptive optimizers would turn any nonzero grad into an lr-sized
+    # step, so only an exact zero keeps the L2 norm below threshold);
+    # key 9: real updates at steps 0..2 (fresh + substantial weight)
+    for step in range(3):
+        ids = jnp.array([7, 9] if step == 0 else [9], jnp.int32)
+        t, lk = ev.lookup_phase(t, ids, step=step)
+        g = np.tile(g_big[None], (int(lk.uids.shape[0]), 1))
+        if step == 0:
+            g[0] = 0.0                         # position of key 7
+        t = o.apply(t, lk, jnp.asarray(g), step=step)
+    val9 = np.asarray(ev.lookup(t, jnp.array([9], jnp.int32)))[0].copy()
+
+    t = ev.shrink(t, step=7)   # ttl: 7-0 > 5 evicts key 7; 7-2 = 5 keeps 9
+    got = np.asarray(ev.contains(t, jnp.array([7, 9], jnp.int32)))
+    assert list(got) == [False, True], (name, policy, got)
+    np.testing.assert_array_equal(
+        np.asarray(ev.lookup(t, jnp.array([9], jnp.int32)))[0], val9)
+
+    # re-insert 7: optimizer state must be fresh (slot re-init — a recycled
+    # accumulator would diverge or NaN: rsqrt(0) is what slot_inits guards)
+    g2 = rng.randn(dim).astype(np.float32)
+    t, lk = ev.lookup_phase(t, jnp.array([7], jnp.int32), step=8)
+    slot7 = int(lk.slot_ids[0])
+    for sname, sinit in t.slot_inits:
+        np.testing.assert_array_equal(
+            np.asarray(t.slots[sname][slot7]),
+            np.full_like(np.asarray(t.slots[sname][slot7]), sinit),
+            err_msg=f"{name}/{policy}: slot {sname} not re-initialized")
+    t = o.apply(t, lk, jnp.asarray(g2)[None], step=8)
+    got = np.asarray(ev.lookup(t, jnp.array([7], jnp.int32)))[0]
+    assert np.isfinite(got).all(), (name, policy, got)
+    if name in ("sgd", "adagrad", "ftrl", "momentum"):
+        # step-independent rules: first update matches the dense reference
+        # from scratch exactly (adam-family bias correction uses the GLOBAL
+        # step like the reference's shared beta-power variables, so their
+        # first-step magnitude legitimately differs)
+        want = dense_reference(name, np.zeros(dim, np.float32), [g2])
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
