@@ -89,6 +89,22 @@ class SyntheticMultiTask:
     seed: int = 0
     steps: Optional[int] = None
 
+    def _attach_labels(self, batch: Dict, rng) -> Dict:
+        click = batch.pop("label")
+        # conversion only possible given click; adds its own noise
+        conv = click * (rng.rand(len(click)) < 0.3).astype(np.float32)
+        batch["labels"] = {"ctr": click, "ctcvr": conv}
+        batch["label"] = click
+        return batch
+
+    def sample(self, rng: np.random.RandomState) -> Dict:
+        from deeprec_tpu.data.synthetic import SyntheticCriteo
+
+        base_gen = SyntheticCriteo(batch_size=self.batch_size,
+                                   num_ids_per_col=self.num_ids_per_col,
+                                   seed=self.seed)
+        return self._attach_labels(base_gen.sample(rng), rng)
+
     def __iter__(self):
         from deeprec_tpu.data.synthetic import SyntheticCriteo
 
@@ -100,10 +116,5 @@ class SyntheticMultiTask:
         for batch in base_gen:
             if self.steps is not None and n >= self.steps:
                 return
-            click = batch.pop("label")
-            # conversion only possible given click; adds its own noise
-            conv = click * (rng.rand(len(click)) < 0.3).astype(np.float32)
-            batch["labels"] = {"ctr": click, "ctcvr": conv}
-            batch["label"] = click
-            yield batch
+            yield self._attach_labels(batch, rng)
             n += 1

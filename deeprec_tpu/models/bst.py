@@ -12,7 +12,8 @@ import jax.numpy as jnp
 from deeprec_tpu.models import base, nn
 
 EMB_DIM = 32
-SEQ_LEN = 30
+SEQ_LEN = 30          # default history length (reference MAX_SEQ_LENGTH=50)
+MAX_POS = 256         # positional table covers any history up to this
 NUM_HEADS = 4
 FF = 64
 HIDDEN = [256, 64, 1]
@@ -35,7 +36,7 @@ def _specs():
 def init_params(key):
     k1, k2, k3 = jax.random.split(key, 3)
     return {
-        "pos": jax.random.normal(k1, (SEQ_LEN + 1, D), jnp.float32) * 0.02,
+        "pos": jax.random.normal(k1, (MAX_POS + 1, D), jnp.float32) * 0.02,
         "block": nn.transformer_block_init(k2, D, NUM_HEADS, FF),
         "mlp": nn.mlp_init(k3, 2 * D + 1, HIDDEN),
     }
@@ -49,6 +50,9 @@ def forward(params, batch, acts, train=True):
 
     seq = jnp.concatenate([hist, tgt[:, None, :]], axis=1)            # [B, L+1, D]
     l1 = seq.shape[1]
+    if l1 > params["pos"].shape[0]:
+        raise ValueError(f"history length {l1 - 1} exceeds MAX_POS "
+                         f"{params['pos'].shape[0] - 1}")
     seq = seq + params["pos"][:l1][None].astype(seq.dtype)
     full_mask = jnp.concatenate(
         [mask, jnp.ones((mask.shape[0], 1), mask.dtype)], axis=1)
