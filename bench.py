@@ -77,7 +77,11 @@ def main():
         _ = float(mm["loss"])
         return time.perf_counter() - t0
 
-    w1, w2 = MEASURE // 4, MEASURE
+    # Slope windows sized from a probe so the window difference dwarfs the
+    # ~30 ms tunnel round-trip noise regardless of step time.
+    est = window(8) / 8
+    w1 = min(2000, max(MEASURE // 4, int(0.8 / max(est, 1e-5))))
+    w2 = 4 * w1
     value = 0.0
     for _ in range(2):
         t1 = window(w1)

@@ -180,6 +180,9 @@ def create(
     c = int(capacity or option.initial_capacity)
     if c & (c - 1):
         raise ValueError(f"capacity must be a power of two, got {c}")
+    if c < BLOCK:
+        raise ValueError(f"capacity must be >= {BLOCK} (one probe bucket), "
+                         f"got {c}")
     emp = empty_key(key_dtype)
     tbl = EmbeddingTable(
         keys=jnp.full((c,), emp, key_dtype),
@@ -224,18 +227,29 @@ def with_slot(table: EmbeddingTable, slot_name: str, width: Optional[int] = None
 # Probing
 
 
-def _probe_slots(h0: jnp.ndarray, r: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """Triangular probing: h + r(r+1)/2 mod C visits every slot for C=2^k."""
+# Bucketized probing (cuco-style): the table is an array of aligned
+# BLOCK-slot buckets; one probe round gathers a whole bucket per id (a [N,
+# BLOCK] row gather costs about the same as a [N] scalar gather — the cost
+# is per-row issue overhead, not bytes) and resolves hit/first-empty within
+# it.  Chains are measured in BUCKETS, so the worst lane over a 200k-id
+# batch resolves in a handful of rounds instead of ~40 slot-granular ones
+# (measured: DIN's 209k-id lookup_phase fell 38.9 -> ~6 ms, PERF.md).
+BLOCK = 8
+
+
+def _probe_blocks(b0: jnp.ndarray, r: jnp.ndarray, num_blocks: int) -> jnp.ndarray:
+    """Triangular probing over buckets: b + r(r+1)/2 mod NB visits every
+    bucket for NB = 2^k."""
 
     off = (r * (r + 1)) // 2
-    return (h0 + off) & (capacity - 1)
+    return (b0 + off) & (num_blocks - 1)
 
 
 # Straight-line lookup rounds before falling back to the while_loop.  At
-# load factor <= 0.75 triangular probing resolves almost every id within a
-# few rounds; unrolled rounds are pure fused gathers with no control-flow
-# sync, so the common case never pays a loop iteration.
-UNROLL_PROBE = 4
+# load factor <= 0.75 almost every id resolves in its first bucket; the
+# unrolled rounds are pure fused gathers with no control-flow sync, so the
+# common case never pays a loop iteration.
+UNROLL_PROBE = 2
 
 
 def _find_or_insert(
@@ -254,24 +268,32 @@ def _find_or_insert(
     cuco::dynamic_map insert on GPU (gpu_hash_table.cu.cc:98).
 
     Two phases, exploiting the open-addressing invariant that a present id
-    always appears BEFORE the first empty slot on its probe chain (the device
-    table has no tombstones — removals rebuild):
+    always appears BEFORE the first empty slot in its probe order (the
+    device table has no tombstones — removals rebuild, which re-places every
+    key at its first-empty position):
 
-      1. **Lookup** (the steady-state hot path): probe until hit or first
-         empty.  ``UNROLL_PROBE`` straight-line rounds + a while_loop for the
-         rare stragglers — no sorts, no claim machinery, and when every id
+      1. **Lookup** (the steady-state hot path): probe BUCKETS of ``BLOCK``
+         aligned slots until a bucket contains the id or an empty slot.
+         ``UNROLL_PROBE`` straight-line rounds + a while_loop for the rare
+         stragglers — no sorts, no claim machinery, and when every id
          resolves in the unrolled rounds the loop body never executes.
-      2. **Insert** (only ids that missed and may insert): claim resolution
-         by stable sort over candidate slots — first id in each equal-slot
-         run wins, deterministic on every SPMD replica; losers continue
-         their probe chain.  When a batch inserts nothing (steady state),
-         this while_loop runs ZERO iterations.
+      2. **Insert** (only ids that missed and may insert): each pending id
+         targets the first empty slot of its current bucket; claims are
+         resolved by a stable sort over candidate slots — first position in
+         each equal-slot run wins, deterministic on every SPMD replica;
+         losers re-examine the bucket (the new occupant may be their own
+         duplicate), advancing only past buckets with no empties.  When a
+         batch inserts nothing (steady state), this while_loop runs ZERO
+         iterations.
     """
 
     capacity = keys.shape[0]
+    nb = capacity // BLOCK
+    keys2 = keys.reshape(nb, BLOCK)
     n = ids.shape[0]
-    h0 = hashing.bucket(ids, capacity).astype(jnp.int32)
+    b0 = hashing.bucket(ids, nb).astype(jnp.int32)
     no_slot = jnp.int32(capacity)
+    no_block = jnp.int32(nb)
     emp = empty_key(keys.dtype)
 
     # -- phase 1: lookup ----------------------------------------------------
@@ -282,12 +304,16 @@ def _find_or_insert(
 
     def lookup_round(r, state):
         found_slot, empty_slot, empty_round, done = state
-        slot = _probe_slots(h0, r, capacity)
-        cur = keys.at[slot].get(mode="fill", fill_value=0)
-        hit = ~done & (cur == ids)
-        found_slot = jnp.where(hit, slot, found_slot)
-        stop = ~done & (cur == emp)
-        empty_slot = jnp.where(stop, slot, empty_slot)
+        blk = _probe_blocks(b0, r, nb)
+        cur = keys2.at[blk].get(mode="fill", fill_value=0)     # [N, BLOCK]
+        eq = cur == ids[:, None]
+        hit = ~done & jnp.any(eq, axis=1)
+        hit_slot = blk * BLOCK + jnp.argmax(eq, axis=1).astype(jnp.int32)
+        found_slot = jnp.where(hit, hit_slot, found_slot)
+        is_emp = cur == emp
+        stop = ~done & ~hit & jnp.any(is_emp, axis=1)
+        first_emp = blk * BLOCK + jnp.argmax(is_emp, axis=1).astype(jnp.int32)
+        empty_slot = jnp.where(stop, first_emp, empty_slot)
         empty_round = jnp.where(stop, r, empty_round)
         done = done | hit | stop
         return found_slot, empty_slot, empty_round, done
@@ -310,8 +336,8 @@ def _find_or_insert(
 
     # -- phase 2: insert ----------------------------------------------------
     # Pending: valid ids that missed, want insertion, and saw an empty slot
-    # (ids that exhausted MAX_PROBE without an empty have empty_slot ==
-    # no_slot and count as failed).
+    # (ids that exhausted MAX_PROBE buckets without an empty have
+    # empty_slot == no_slot and count as failed).
     missed = valid & (found_slot == no_slot)
     pending = missed & may_insert & (empty_slot < no_slot)
 
@@ -321,31 +347,37 @@ def _find_or_insert(
 
     def ins_body(carry):
         keys_, slots_, pending, inserted, r_i, rounds = carry
-        slot = jnp.where(pending, _probe_slots(h0, r_i, capacity), no_slot)
-        cur = keys_.at[slot].get(mode="fill", fill_value=0)
+        k2 = keys_.reshape(nb, BLOCK)
+        blk = jnp.where(pending, _probe_blocks(b0, r_i, nb), no_block)
+        cur = k2.at[blk].get(mode="fill", fill_value=0)        # [N, BLOCK]
         # A duplicate position whose twin won the claim last round now HITS
         # the freshly-inserted key (it did not advance, see below).
-        hit = pending & (cur == ids)
-        slots_ = jnp.where(hit, slot, slots_)
+        eq = cur == ids[:, None]
+        hit = pending & jnp.any(eq, axis=1)
+        slots_ = jnp.where(
+            hit, blk * BLOCK + jnp.argmax(eq, axis=1).astype(jnp.int32),
+            slots_)
         pending = pending & ~hit
-        is_empty = pending & (cur == emp)
+        is_emp = cur == emp
+        has_empty = pending & jnp.any(is_emp, axis=1)
+        cand = blk * BLOCK + jnp.argmax(is_emp, axis=1).astype(jnp.int32)
         # Deterministic claims: stable-sort candidate slots, first position
         # in each equal-slot run wins.  O(N log N), no O(capacity) traffic.
-        skey = jnp.where(is_empty, slot, no_slot)
+        skey = jnp.where(has_empty, cand, no_slot)
         order = jnp.argsort(skey, stable=True)
         ss = skey[order]
         first_in_run = jnp.concatenate(
             [jnp.ones((1,), jnp.bool_), ss[1:] != ss[:-1]])
         winner_sorted = first_in_run & (ss < no_slot)
         won = jnp.zeros_like(pending).at[order].set(winner_sorted)
-        keys_ = keys_.at[jnp.where(won, slot, no_slot)].set(ids, mode="drop")
-        slots_ = jnp.where(won, slot, slots_)
+        keys_ = keys_.at[jnp.where(won, cand, no_slot)].set(ids, mode="drop")
+        slots_ = jnp.where(won, cand, slots_)
         inserted = inserted | won
         pending = pending & ~won
-        # Advance only positions that probed an OCCUPIED slot; claim losers
-        # stay to re-examine the slot (its new occupant may be their own id
-        # inserted by a duplicate position).
-        r_i = jnp.where(pending & ~is_empty, r_i + 1, r_i)
+        # Advance only positions whose bucket had NO empty slot; claim
+        # losers stay to re-examine the bucket (its next empty, or their
+        # own id inserted by a duplicate position).
+        r_i = jnp.where(pending & ~has_empty, r_i + 1, r_i)
         return keys_, slots_, pending, inserted, r_i, rounds + 1
 
     init = (keys, found_slot, pending, jnp.zeros((n,), jnp.bool_),
