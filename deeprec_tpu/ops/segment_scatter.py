@@ -1,0 +1,210 @@
+"""Segment scatter-add: sum [N, D] rows into a dense [C, D] buffer by slot id.
+
+TPU-native replacement for the reference's fused GPU sparse-apply /
+group-embedding backward scatter kernels (core/kernels/group_embedding/*,
+batch.cu.cc:24 ``BatchCopy`` + ``SparseApplyAdagradGPU``): XLA's general
+scatter on TPU v5e costs ~6.5 ns per scattered ELEMENT (measured; duplicates,
+sortedness and set-vs-add all identical), which makes the [53k, 16] ->
+[2^19, 16] gradient accumulate the single most expensive op of a recsys
+train step (~5.5 ms isolated).  This module replaces it with:
+
+  1. argsort by destination slot, permute rows into sorted order;
+  2. duplicate aggregation: run boundaries + a cumsum whose per-run
+     difference is the run's summed row (no scatter anywhere);
+  3. compaction of the per-run sums via a stable bool argsort;
+  4. a Pallas kernel: grid over output chunks of OUTER rows; two
+     scalar-prefetch-indexed input blocks of BIN sorted rows are guaranteed
+     to cover the chunk's uniques (uniques within an OUTER-row range are at
+     most OUTER; the guard below enforces <= BIN); an iota-compare one-hot
+     [BIN, W_OUT] and an MXU matmul place + sum the rows; P_SUB = 128/D
+     sub-chunks are lane-packed so the matmul uses all 128 output lanes.
+
+Accuracy: the one-hot is exact in bf16; rows are split into ``terms``
+bf16 components (2 terms ~ 1e-5 relative, bounded by the cumsum-diff f32
+error, comparable to any large-batch summation order).
+
+STATUS — measured and REJECTED as the production path (v5e, honest
+readback-slope timing, PERF.md "Rejected optimizations"): the kernel wins
+isolated micro-benchmarks on *uniform* ids (53k x 16 -> 2^19: 5.5 ms XLA
+-> 2.3 ms) but inside a real train step it never wins — DLRM regresses
+6.3 -> 7.5 ms/step and DIN/DIEN are within box noise — and with
+realistically *duplicated* (zipfian) ids the isolated comparison inverts
+(209k x 32 -> 2^18: kernel 9.1 ms vs XLA 2.9 ms).  XLA's scatter cost
+tracks unique destinations, not scattered elements, and it overlaps with
+neighboring ops; the kernel's sequential sort/dedup prep chain does not.
+``scatter_add_rows`` therefore always dispatches to the XLA scatter;
+the kernel stays correct and reachable via ``_force="kernel"`` (a runtime
+guard falls back to the XLA scatter when a chunk's unique count exceeds
+the BIN window, so results are exact regardless of distribution).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def _xla_scatter(dst, rows, cap):
+    return jnp.zeros((cap,) + rows.shape[1:], rows.dtype).at[
+        jnp.minimum(dst, cap)].add(rows, mode="drop")
+
+
+def _dedup_sorted(dst, rows, cap):
+    """Sort by dst; aggregate duplicate runs; compact.
+
+    Returns (u_dst [N] sorted unique slots, cap-padded; u_rows [N, D]
+    per-unique summed rows, zero-padded).  Rows whose dst >= cap are
+    dropped.  No scatter ops anywhere (TPU scatter is the op being
+    replaced): run sums come from a cumsum difference, compaction from a
+    stable argsort of the run-end flags.
+    """
+
+    n = dst.shape[0]
+    order = jnp.argsort(dst)
+    sdst = dst[order]
+    srows = rows[order]
+    valid = sdst < cap
+    is_end = jnp.concatenate(
+        [sdst[1:] != sdst[:-1], jnp.ones((1,), jnp.bool_)]) & valid
+    csum = jnp.cumsum(srows, axis=0)
+    # Stable argsort of ~is_end lists run-end positions first, in order —
+    # the compaction permutation (cheaper than a scatter at these sizes).
+    endpos = jnp.argsort(~is_end, stable=True).astype(jnp.int32)
+    u_valid = is_end[endpos]
+    u_dst = jnp.where(u_valid, sdst[endpos], cap)
+    s_end = csum[endpos]
+    # Prefix before run j = prefix at run j-1's end (runs contiguous from 0;
+    # invalid tail rows only ever feed masked-out entries).
+    s_prev = jnp.concatenate([jnp.zeros_like(s_end[:1]), s_end[:-1]])
+    u_rows = jnp.where(u_valid[:, None], s_end - s_prev, 0)
+    return u_dst, u_rows
+
+
+def _kern(blk0_ref, ida_ref, idb_ref, ra_ref, rb_ref, out_ref,
+          *, OUTER, W_OUT, P_SUB, BIN, D, terms):
+    c = pl.program_id(0)
+    base = c * OUTER
+    iota_rr = jax.lax.broadcasted_iota(jnp.int32, (BIN, W_OUT), 1)
+    dn = (((0,), (0,)), ((), ()))
+    acc = jnp.zeros((W_OUT, P_SUB * D), jnp.float32)
+    for id_ref, r_ref in ((ida_ref, ra_ref), (idb_ref, rb_ref)):
+        local = id_ref[...] - base                       # [BIN, 1]
+        ok = (local >= 0) & (local < OUTER)
+        j = jax.lax.shift_right_logical(local, W_OUT.bit_length() - 1)
+        rr = jnp.where(ok, local & (W_OUT - 1), -1)      # invalid: no match
+        oh = (rr == iota_rr).astype(jnp.bfloat16)        # [BIN, W_OUT]
+        rows = r_ref[...]                                # [BIN, D]
+        pieces = [jnp.where(j == jj, rows, 0.0) for jj in range(P_SUB)]
+        aug = jnp.concatenate(pieces, axis=1)            # [BIN, P_SUB*D]
+        rem = aug
+        for _ in range(terms):
+            hi = rem.astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                oh, hi, dn, preferred_element_type=jnp.float32)
+            rem = rem - hi.astype(jnp.float32)
+    out_ref[0, :, :] = acc
+
+
+def _kernel_path(u_dst, u_rows, starts, cap, OUTER, W_OUT, BIN, terms,
+                 interpret):
+    n, d = u_rows.shape
+    P_SUB = OUTER // W_OUT
+    nb = n // BIN + 2
+    pad = nb * BIN - n
+    u_dst_p = jnp.concatenate([u_dst, jnp.full((pad,), cap, u_dst.dtype)])
+    u_rows_p = jnp.concatenate([u_rows, jnp.zeros((pad, d), u_rows.dtype)])
+    nc = cap // OUTER
+    blk0 = jnp.minimum(starts // BIN, nb - 2)
+    ids2d = u_dst_p[:, None]
+    packed = pl.pallas_call(
+        functools.partial(_kern, OUTER=OUTER, W_OUT=W_OUT, P_SUB=P_SUB,
+                          BIN=BIN, D=d, terms=terms),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nc,),
+            in_specs=[
+                pl.BlockSpec((BIN, 1), lambda c, blk0: (blk0[c], 0)),
+                pl.BlockSpec((BIN, 1), lambda c, blk0: (blk0[c] + 1, 0)),
+                pl.BlockSpec((BIN, d), lambda c, blk0: (blk0[c], 0)),
+                pl.BlockSpec((BIN, d), lambda c, blk0: (blk0[c] + 1, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, W_OUT, P_SUB * d),
+                                   lambda c, blk0: (c, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nc, W_OUT, P_SUB * d), jnp.float32),
+        interpret=interpret,
+    )(blk0, ids2d, ids2d, u_rows_p, u_rows_p)
+    # unpack lane-packed sub-chunks back to row-major [C, D]
+    return packed.reshape(nc, W_OUT, P_SUB, d).transpose(0, 2, 1, 3).reshape(
+        cap, d)
+
+
+def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
+                     _interpret=False):
+    """``zeros([cap, D]).at[dst].add(rows)`` with dst >= cap rows dropped.
+
+    Drop-in for the sparse-apply gradient accumulate.  Dispatches to the
+    Pallas segment kernel on TPU at production shapes; anything else
+    (CPU mesh tests, tiny tables, exotic dtypes/dims) uses the XLA scatter.
+
+    ``dedup=False`` skips the run-aggregation (sort + permute only — a
+    shorter dependency chain); the kernel sums duplicate ids natively, and
+    the window guard then bounds *positions* per chunk rather than uniques,
+    so heavily duplicated batches fall back to the XLA scatter.
+    ``_force``/``_interpret`` are test hooks.
+    """
+
+    n, d = rows.shape
+    cap = int(cap)
+    # Measured in-step on v5e (PERF.md "Rejected optimizations"): the kernel
+    # never beats the XLA scatter-add inside a real train step — DLRM
+    # (53k ids) regresses 6.3 -> 7.5 ms/step and DIN (209k ids) is within
+    # box noise; isolated at DIN shapes the kernel is ~3x SLOWER (9.1 vs
+    # 2.9 ms) once ids are realistically duplicated.  Production therefore
+    # always takes the XLA scatter; the kernel stays reachable via
+    # ``_force="kernel"`` for future wide-row / fused use.
+    use_kernel = False
+    if _force == "kernel":
+        use_kernel = True
+    elif _force == "xla" or not use_kernel:
+        return _xla_scatter(dst, rows, cap)
+
+    d_pad = _pow2ceil(d)
+    P_SUB = 128 // d_pad
+    W_OUT = 256
+    OUTER = W_OUT * P_SUB
+    if cap % OUTER or cap // OUTER < 8:
+        return _xla_scatter(dst, rows, cap)
+    # BIN sizes the window to ~3x the mean chunk occupancy; the guard
+    # catches the (astronomically rare for hashed slots) overflow.
+    BIN = min(_pow2ceil(max(128, 3 * n * OUTER // cap)), OUTER)
+
+    dst = dst.astype(jnp.int32)
+    if dedup:
+        u_dst, u_rows = _dedup_sorted(dst, rows, cap)
+    else:
+        order = jnp.argsort(dst)
+        u_dst, u_rows = dst[order], rows[order]
+    if d_pad != d:
+        u_rows = jnp.concatenate(
+            [u_rows, jnp.zeros((n, d_pad - d), u_rows.dtype)], axis=1)
+    nc = cap // OUTER
+    bounds = jnp.searchsorted(
+        u_dst, (jnp.arange(nc + 1, dtype=jnp.int32) * OUTER).astype(
+            u_dst.dtype)).astype(jnp.int32)
+    max_cnt = jnp.max(bounds[1:] - bounds[:-1])
+    out = jax.lax.cond(
+        max_cnt <= BIN,
+        lambda a, b, s: _kernel_path(a, b, s, cap, OUTER, W_OUT, BIN, terms,
+                                     _interpret),
+        lambda a, b, s: _xla_scatter(a, b, cap),
+        u_dst, u_rows, bounds[:-1])
+    return out[:, :d] if d_pad != d else out

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from deeprec_tpu.embedding import table as ev
+from deeprec_tpu.ops import segment_scatter
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,8 +110,12 @@ def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names,
     dst = jnp.where(ok, lk.slot_ids, no_slot)
     grad = grad.astype(table.value_dtype)
 
-    g_dense = jnp.zeros_like(table.values).at[dst].add(
-        jnp.where(ok[:, None], grad, 0), mode="drop")
+    # The single large scatter of the hot path.  ops/segment_scatter owns
+    # the dispatch: measured on v5e the XLA scatter-add wins in-step at all
+    # model-zoo shapes (the Pallas segment kernel was built, measured, and
+    # rejected — see its docstring + PERF.md), so this resolves to the XLA
+    # scatter.  Rows with dst == capacity (masked positions) are dropped.
+    g_dense = segment_scatter.scatter_add_rows(dst, grad, c)
     cnt = jnp.zeros((c,), jnp.int32).at[dst].add(
         jnp.where(ok, lk.counts, 0), mode="drop")
     touched_now = cnt > 0

@@ -1,0 +1,105 @@
+"""ops/segment_scatter: parity of every dispatch path vs a numpy reference.
+
+The Pallas kernel path is exercised in interpreter mode on the CPU backend
+(the real-TPU numbers live in PERF.md); the XLA path is the production CPU
+path.  Reference role: the fused sparse-apply scatter kernels
+(core/kernels/group_embedding/*, batch.cu.cc:24).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deeprec_tpu.ops import segment_scatter
+
+
+def ref_np(dst, rows, cap):
+    out = np.zeros((cap, rows.shape[1]), np.float64)
+    d = np.asarray(dst)
+    r = np.asarray(rows, np.float64)
+    for i in range(d.shape[0]):
+        if d[i] < cap:
+            out[d[i]] += r[i]
+    return out
+
+
+def _mk(pattern, cap, n, d, seed=0):
+    rng = np.random.RandomState(seed)
+    if pattern == "uniform":
+        dst = rng.randint(0, cap, n)
+    elif pattern == "zipf":
+        dst = (rng.zipf(1.3, n) * 7919) % cap
+    elif pattern == "clustered":          # overflows the BIN window -> guard
+        dst = np.arange(n) % (cap // 64)
+    dst = dst.astype(np.int32)
+    dst[:: 11] = cap                      # dropped positions
+    rows = rng.randn(n, d).astype(np.float32)
+    return jnp.asarray(dst), jnp.asarray(rows)
+
+
+@pytest.mark.parametrize("pattern", ["uniform", "zipf", "clustered"])
+def test_xla_path_parity(pattern):
+    cap, n, d = 2048, 1500, 8
+    dst, rows = _mk(pattern, cap, n, d)
+    got = np.asarray(segment_scatter.scatter_add_rows(dst, rows, cap))
+    np.testing.assert_allclose(got, ref_np(dst, rows, cap), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_dedup_sorted_matches_reference():
+    cap, n, d = 512, 400, 4
+    dst, rows = _mk("zipf", cap, n, d)
+    u_dst, u_rows = segment_scatter._dedup_sorted(dst, rows, cap)
+    u_dst, u_rows = np.asarray(u_dst), np.asarray(u_rows, np.float64)
+    ref = {}
+    dn, rn = np.asarray(dst), np.asarray(rows, np.float64)
+    for i in range(n):
+        if dn[i] < cap:
+            ref[dn[i]] = ref.get(dn[i], 0) + rn[i]
+    keys = sorted(ref)
+    assert (u_dst < cap).sum() == len(keys)
+    for k, key in enumerate(keys):
+        assert u_dst[k] == key
+        np.testing.assert_allclose(u_rows[k], ref[key], rtol=1e-4, atol=1e-4)
+    # padding tail is inert
+    assert (u_dst[len(keys):] == cap).all()
+    np.testing.assert_allclose(u_rows[len(keys):], 0.0)
+
+
+@pytest.mark.parametrize("pattern", ["uniform", "zipf"])
+@pytest.mark.parametrize("d", [16, 32])
+def test_kernel_path_parity_interpret(pattern, d):
+    cap, n = 16384, 2048
+    dst, rows = _mk(pattern, cap, n, d)
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        dst, rows, cap, _force="kernel", _interpret=True))
+    np.testing.assert_allclose(got, ref_np(dst, rows, cap), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_kernel_guard_falls_back_on_clustered_ids():
+    cap, n, d = 16384, 2048, 16
+    dst, rows = _mk("clustered", cap, n, d)
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        dst, rows, cap, _force="kernel", _interpret=True))
+    np.testing.assert_allclose(got, ref_np(dst, rows, cap), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_kernel_path_nonpow2_dim_pads():
+    cap, n, d = 16384, 2048, 12
+    dst, rows = _mk("uniform", cap, n, d)
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        dst, rows, cap, _force="kernel", _interpret=True))
+    assert got.shape == (cap, d)
+    np.testing.assert_allclose(got, ref_np(dst, rows, cap), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_empty_and_all_dropped():
+    cap, n, d = 16384, 2048, 16
+    dst = jnp.full((n,), cap, jnp.int32)
+    rows = jnp.ones((n, d), jnp.float32)
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        dst, rows, cap, _force="kernel", _interpret=True))
+    np.testing.assert_allclose(got, 0.0)
