@@ -509,39 +509,63 @@ def _lookup_phase(
     if train:
         # Initialize freshly inserted rows from the deterministic default
         # pool: stable per-key init across restarts/shards (InitializerOption
-        # default_value_dim, variables.py:180).  The whole block is gated on
-        # "did anything insert": row scatters on a multi-million-row table
-        # cost milliseconds on TPU even when every index is dropped, and in
-        # steady state (all ids known) a batch inserts nothing — the cond
-        # skips them entirely (measured: ~11 ms/step on v5e at 53k ids x
-        # 4.2M rows).
+        # default_value_dim, variables.py:180).  Skipping this work when a
+        # batch inserts nothing is load-bearing: a full-width row scatter on
+        # TPU costs ~6.5 ns per scattered ELEMENT even when every index is
+        # dropped (209k x 32 -> ~40 ms/step measured), and `lax.cond` is NOT
+        # a free gate — the identity branch pays a pass-through copy of the
+        # values array (~6 ms at [524k, 32] on v5e).  A `lax.while_loop`
+        # aliases its carry in place, so zero iterations cost nothing
+        # (measured: gather after a 0-iter while == plain gather); inserting
+        # steps run ceil(n_inserted / K) compact K-row scatter chunks
+        # (~2 ms/chunk) instead of the full-width scatter.
         n_inserted = jnp.sum(inserted).astype(jnp.int32)
+        npos = uids.shape[0]
+        K = min(4096, npos)
+        if init_rows is not None:
+            init_flat = jax.lax.stop_gradient(
+                init_rows.reshape(-1, table.dim).astype(table.value_dtype))
+        # rank of each position among inserted positions (order-stable)
+        rank = jnp.cumsum(inserted.astype(jnp.int32)) - 1
 
-        def do_insert(operands):
-            values, slot_arrays, versions = operands
+        def ins_chunk_cond(carry):
+            i = carry[0]
+            return i * K < n_inserted
+
+        def ins_chunk_body(carry):
+            i, values, slot_arrays, versions = carry
+            lo = i * K
+            in_chunk = inserted & (rank >= lo) & (rank < lo + K)
+            # compact: position index of each chunk member, K-padded
+            cpos = jnp.where(in_chunk, rank - lo, K)
+            comp = jnp.full((K + 1,), npos, jnp.int32).at[cpos].set(
+                jnp.arange(npos, dtype=jnp.int32), mode="drop")[:K]
+            chunk_slot = slot_ids.at[comp].get(
+                mode="fill", fill_value=table.capacity)
+            # unfilled compact lanes point at npos -> no_slot -> dropped
+            chunk_slot = jnp.where(comp < npos, chunk_slot, no_slot)
             if init_rows is None:
                 dvd = table.default_rows.shape[0]
-                row_sel = hashing.bucket(uids, dvd, salt=7)
-                fresh_rows = table.default_rows[row_sel]
+                chunk_ids = uids.at[comp].get(mode="fill", fill_value=emp)
+                fresh = table.default_rows[
+                    hashing.bucket(chunk_ids, dvd, salt=7)]
             else:
-                fresh_rows = jax.lax.stop_gradient(
-                    init_rows.reshape(-1, table.dim).astype(table.value_dtype))
-            ins_slot = jnp.where(inserted, slot_ids, no_slot)
-            values = values.at[ins_slot].set(fresh_rows, mode="drop")
+                fresh = init_flat.at[comp].get(mode="fill", fill_value=0)
+            values = values.at[chunk_slot].set(fresh, mode="drop")
             # Reset recycled rows' optimizer slots to their init value:
             # rebuilds zero-fill dead rows, and a fresh key must not inherit
             # that zero (adagrad rsqrt(0) = inf -> NaN on first apply).
             slot_arrays = dict(slot_arrays)
             for sname, sinit in table.slot_inits:
-                slot_arrays[sname] = slot_arrays[sname].at[ins_slot].set(
+                slot_arrays[sname] = slot_arrays[sname].at[chunk_slot].set(
                     jnp.asarray(sinit, table.value_dtype), mode="drop")
             if versions is not None:
-                versions = versions.at[ins_slot].set(step, mode="drop")
-            return values, slot_arrays, versions
+                versions = versions.at[chunk_slot].set(step, mode="drop")
+            return i + 1, values, slot_arrays, versions
 
-        values, slot_arrays, versions = jax.lax.cond(
-            n_inserted > 0, do_insert, lambda ops: ops,
-            (values, dict(table.slots), versions))
+        _, values, slot_arrays, versions = jax.lax.while_loop(
+            ins_chunk_cond, ins_chunk_body,
+            (jnp.int32(0), values, dict(table.slots), versions))
         size = size + n_inserted
         growth_hint = growth_hint + n_failed
 

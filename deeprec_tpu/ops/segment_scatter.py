@@ -23,19 +23,23 @@ Accuracy: the one-hot is exact in bf16; rows are split into ``terms``
 bf16 components (2 terms ~ 1e-5 relative, bounded by the cumsum-diff f32
 error, comparable to any large-batch summation order).
 
-STATUS — measured and REJECTED as the production path (v5e, honest
-readback-slope timing, PERF.md "Rejected optimizations"): the kernel wins
-isolated micro-benchmarks on *uniform* ids (53k x 16 -> 2^19: 5.5 ms XLA
--> 2.3 ms) but inside a real train step it never wins — DLRM regresses
-6.3 -> 7.5 ms/step and DIN/DIEN are within box noise — and with
-realistically *duplicated* (zipfian) ids the isolated comparison inverts
-(209k x 32 -> 2^18: kernel 9.1 ms vs XLA 2.9 ms).  XLA's scatter cost
-tracks unique destinations, not scattered elements, and it overlaps with
-neighboring ops; the kernel's sequential sort/dedup prep chain does not.
-``scatter_add_rows`` therefore always dispatches to the XLA scatter;
-the kernel stays correct and reachable via ``_force="kernel"`` (a runtime
-guard falls back to the XLA scatter when a chunk's unique count exceeds
-the BIN window, so results are exact regardless of distribution).
+STATUS (v5e, honest interleaved readback-slope timing — PERF.md "Segment
+scatter"): at sequence-model id volumes the dedup strategies beat the XLA
+scatter-add decisively.  With the REAL model slot distribution (209k
+positions -> 65k unique slots, DIN batch 2048) the XLA scatter costs
+27 ms isolated / ~21 ms in-step; ``chunked`` (dedup + while_loop of
+compact K-row ``.set``s) costs 8.1 ms isolated and cuts the full DIN
+train step 28.1 -> 19.6 ms (+44% throughput), with the Pallas kernel
+within ~4% of chunked.  Two measurement traps documented the hard way:
+(1) micro-benchmarks with few unique destinations (zipf-clipped ids)
+understate XLA scatter cost ~10x — destination cache locality dominates;
+(2) strategy A/Bs run in separate processes on this shared box drown in
+±45% noise — only interleaved same-process comparisons are valid.
+Dispatch: ``chunked`` at n >= 128k TPU f32 (where dedup amortizes),
+XLA scatter below; the kernel stays reachable via ``_force="kernel"``
+and is EXACT with no runtime guard when dedup'd (BIN == OUTER: a chunk's
+uniques are <= OUTER and contiguous after sorting, so two aligned blocks
+always cover them).
 """
 
 from __future__ import annotations
@@ -147,6 +151,34 @@ def _kernel_path(u_dst, u_rows, starts, cap, OUTER, W_OUT, BIN, terms,
         cap, d)
 
 
+def _chunked_path(u_dst, u_rows, n_u, cap, K):
+    """Dedup-then-chunked-set: scatter only the live unique rows, K at a time.
+
+    After ``_dedup_sorted`` the destinations are unique, so ``.set`` into a
+    zeros buffer equals scatter-add — and XLA's row-scatter cost is per
+    SOURCE row (~50-140 ns each, dropped or not), so scattering 209k mostly-
+    padding rows wastes ~12 ms while ceil(n_u/K) compact chunks pay only for
+    live rows.  ``dynamic_slice`` clamps the last chunk's start, re-reading
+    earlier entries — harmless: ``.set`` of the same unique (dst, row) pairs
+    is idempotent.  The while_loop carry aliases in place (zero extra cost
+    when n_u == 0, unlike ``lax.cond`` which copies its operands through the
+    identity branch — measured ~6 ms at [524k, 32])."""
+
+    out = jnp.zeros((cap,) + u_rows.shape[1:], u_rows.dtype)
+
+    def cond(c):
+        return c[0] * K < n_u
+
+    def body(c):
+        i, out = c
+        sl_dst = jax.lax.dynamic_slice_in_dim(u_dst, i * K, K)
+        sl_rows = jax.lax.dynamic_slice_in_dim(u_rows, i * K, K)
+        return i + 1, out.at[sl_dst].set(sl_rows, mode="drop")
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), out))
+    return out
+
+
 def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
                      _interpret=False):
     """``zeros([cap, D]).at[dst].add(rows)`` with dst >= cap rows dropped.
@@ -164,33 +196,50 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
 
     n, d = rows.shape
     cap = int(cap)
-    # Measured in-step on v5e (PERF.md "Rejected optimizations"): the kernel
-    # never beats the XLA scatter-add inside a real train step — DLRM
-    # (53k ids) regresses 6.3 -> 7.5 ms/step and DIN (209k ids) is within
-    # box noise; isolated at DIN shapes the kernel is ~3x SLOWER (9.1 vs
-    # 2.9 ms) once ids are realistically duplicated.  Production therefore
-    # always takes the XLA scatter; the kernel stays reachable via
-    # ``_force="kernel"`` for future wide-row / fused use.
-    use_kernel = False
-    if _force == "kernel":
-        use_kernel = True
-    elif _force == "xla" or not use_kernel:
+    # Dispatch, measured on v5e with REAL model id distributions (209k
+    # positions -> ~65k unique slots for DIN at batch 2048): the XLA
+    # scatter-add costs ~105-140 ns per source row once destinations spill
+    # the cache (28.5 ms isolated at DIN shapes), so at sequence-model id
+    # volumes the dedup paths win big.  Earlier micro-benchmarks with ~1k
+    # unique destinations (cache-resident) understated the XLA cost 10x —
+    # always benchmark scatter with production-like UNIQUE counts.
+    strategy = _force
+    if strategy is None:
+        on_tpu = jax.default_backend() == "tpu"
+        if (on_tpu and rows.dtype == jnp.float32 and d <= 128
+                and n >= 131072):
+            strategy = "chunked"
+        else:
+            strategy = "xla"
+    if strategy == "xla":
         return _xla_scatter(dst, rows, cap)
 
+    dst = dst.astype(jnp.int32)
+    if strategy == "chunked":
+        u_dst, u_rows = _dedup_sorted(dst, rows, cap)
+        n_u = jnp.searchsorted(u_dst, jnp.int32(cap)).astype(jnp.int32)
+        return _chunked_path(u_dst, u_rows, n_u, cap, K=min(16384, n))
+
+    # strategy == "kernel"
     d_pad = _pow2ceil(d)
     P_SUB = 128 // d_pad
     W_OUT = 256
     OUTER = W_OUT * P_SUB
     if cap % OUTER or cap // OUTER < 8:
         return _xla_scatter(dst, rows, cap)
-    # BIN sizes the window to ~3x the mean chunk occupancy; the guard
-    # catches the (astronomically rare for hashed slots) overflow.
-    BIN = min(_pow2ceil(max(128, 3 * n * OUTER // cap)), OUTER)
 
-    dst = dst.astype(jnp.int32)
     if dedup:
+        # BIN == OUTER makes the kernel EXACT with no runtime guard: after
+        # dedup the (sorted, unique) entries landing in one OUTER-slot chunk
+        # number at most OUTER and are contiguous, so two aligned BIN-sized
+        # blocks always cover them.  The guard's lax.cond is not a free
+        # gate (identity branch copies operands, ~6 ms at [524k, 32]).
+        BIN = OUTER
         u_dst, u_rows = _dedup_sorted(dst, rows, cap)
     else:
+        # No dedup: the window bounds POSITIONS per chunk, which duplicates
+        # can overflow — keep the guarded fallback.
+        BIN = min(_pow2ceil(max(128, 3 * n * OUTER // cap)), OUTER)
         order = jnp.argsort(dst)
         u_dst, u_rows = dst[order], rows[order]
     if d_pad != d:
@@ -200,11 +249,15 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
     bounds = jnp.searchsorted(
         u_dst, (jnp.arange(nc + 1, dtype=jnp.int32) * OUTER).astype(
             u_dst.dtype)).astype(jnp.int32)
-    max_cnt = jnp.max(bounds[1:] - bounds[:-1])
-    out = jax.lax.cond(
-        max_cnt <= BIN,
-        lambda a, b, s: _kernel_path(a, b, s, cap, OUTER, W_OUT, BIN, terms,
-                                     _interpret),
-        lambda a, b, s: _xla_scatter(a, b, cap),
-        u_dst, u_rows, bounds[:-1])
+    if dedup:
+        out = _kernel_path(u_dst, u_rows, bounds[:-1], cap, OUTER, W_OUT,
+                           BIN, terms, _interpret)
+    else:
+        max_cnt = jnp.max(bounds[1:] - bounds[:-1])
+        out = jax.lax.cond(
+            max_cnt <= BIN,
+            lambda a, b, s: _kernel_path(a, b, s, cap, OUTER, W_OUT, BIN,
+                                         terms, _interpret),
+            lambda a, b, s: _xla_scatter(a, b, cap),
+            u_dst, u_rows, bounds[:-1])
     return out[:, :d] if d_pad != d else out

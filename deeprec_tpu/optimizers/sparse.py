@@ -111,10 +111,10 @@ def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names,
     grad = grad.astype(table.value_dtype)
 
     # The single large scatter of the hot path.  ops/segment_scatter owns
-    # the dispatch: measured on v5e the XLA scatter-add wins in-step at all
-    # model-zoo shapes (the Pallas segment kernel was built, measured, and
-    # rejected — see its docstring + PERF.md), so this resolves to the XLA
-    # scatter.  Rows with dst == capacity (masked positions) are dropped.
+    # the dispatch: at sequence-model id volumes (>=128k positions) the
+    # dedup + chunked-set path cuts the DIN step 28.1 -> 19.6 ms on v5e;
+    # below that the XLA scatter-add wins (see segment_scatter docstring +
+    # PERF.md).  Rows with dst == capacity (masked positions) are dropped.
     g_dense = segment_scatter.scatter_add_rows(dst, grad, c)
     cnt = jnp.zeros((c,), jnp.int32).at[dst].add(
         jnp.where(ok, lk.counts, 0), mode="drop")

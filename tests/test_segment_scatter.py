@@ -103,3 +103,37 @@ def test_empty_and_all_dropped():
     got = np.asarray(segment_scatter.scatter_add_rows(
         dst, rows, cap, _force="kernel", _interpret=True))
     np.testing.assert_allclose(got, 0.0)
+
+
+@pytest.mark.parametrize("pattern", ["uniform", "zipf", "clustered"])
+def test_chunked_path_parity(pattern):
+    cap, n, d = 16384, 2048, 16
+    dst, rows = _mk(pattern, cap, n, d)
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        dst, rows, cap, _force="chunked"))
+    # cumsum-diff run aggregation carries f32 rounding vs the f64 reference
+    np.testing.assert_allclose(got, ref_np(dst, rows, cap), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_chunked_path_empty():
+    cap, n, d = 16384, 2048, 16
+    dst = jnp.full((n,), cap, jnp.int32)
+    rows = jnp.ones((n, d), jnp.float32)
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        dst, rows, cap, _force="chunked"))
+    np.testing.assert_allclose(got, 0.0)
+
+
+def test_chunked_path_more_uniques_than_chunk():
+    # n_u spans several K-chunks (K = min(16384, n) -> here K = n, so use
+    # a tiny K via many uniques relative to n: exercise the clamped final
+    # dynamic_slice re-read being idempotent)
+    cap, n, d = 32768, 4096, 8
+    rng = np.random.RandomState(3)
+    dst = jnp.asarray(rng.permutation(cap)[:n].astype(np.int32))  # all unique
+    rows = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        dst, rows, cap, _force="chunked"))
+    np.testing.assert_allclose(got, ref_np(dst, rows, cap), rtol=2e-4,
+                               atol=2e-4)
