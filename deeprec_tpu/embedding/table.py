@@ -593,6 +593,49 @@ def _lookup_phase(
     return new_table, lk
 
 
+def chunked_masked_row_set(arr: jnp.ndarray, mask: jnp.ndarray,
+                           dst: jnp.ndarray, row_fn, *, K: int = 4096
+                           ) -> jnp.ndarray:
+    """``arr.at[dst[p]].set(row_fn(p))`` for masked positions p — as a
+    while_loop over compact K-position chunks that costs NOTHING when the
+    mask is empty.
+
+    The obvious ``lax.cond`` gate is not free: its identity branch pays a
+    pass-through copy of ``arr`` (~6 ms at [524k, 32] on v5e), and an
+    ungated full-width scatter pays ~60-105 ns per source row even for
+    dropped indices.  A 0-iteration ``lax.while_loop`` aliases its carry in
+    place (measured: free — PERF.md round 2c), and active steps pay only
+    ceil(n_active / K) compact chunks.
+
+    ``row_fn(comp)`` maps compact position indices ``comp`` [K] (entries
+    ``>= mask.size`` are padding) to replacement rows [K, D].  Positions
+    whose ``dst`` is out of range are dropped.
+    """
+
+    npos = mask.shape[0]
+    K = min(K, npos)
+    cap = arr.shape[0]
+    n_active = jnp.sum(mask).astype(jnp.int32)
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+
+    def cond(carry):
+        return carry[0] * K < n_active
+
+    def body(carry):
+        i, a = carry
+        lo = i * K
+        in_chunk = mask & (rank >= lo) & (rank < lo + K)
+        cpos = jnp.where(in_chunk, rank - lo, K)
+        comp = jnp.full((K + 1,), npos, jnp.int32).at[cpos].set(
+            jnp.arange(npos, dtype=jnp.int32), mode="drop")[:K]
+        cdst = dst.at[comp].get(mode="fill", fill_value=cap)
+        cdst = jnp.where(comp < npos, cdst, jnp.int32(cap))
+        return i + 1, a.at[cdst].set(row_fn(comp), mode="drop")
+
+    _, arr = jax.lax.while_loop(cond, body, (jnp.int32(0), arr))
+    return arr
+
+
 def _collect(table: EmbeddingTable, lk: Lookup) -> jnp.ndarray:
     """Gather this batch's embedding rows [N, D] (one per position).
 

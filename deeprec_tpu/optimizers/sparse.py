@@ -114,7 +114,11 @@ def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names,
     # the dispatch: at sequence-model id volumes (>=128k positions) the
     # dedup + chunked-set path cuts the DIN step 28.1 -> 19.6 ms on v5e;
     # below that the XLA scatter-add wins (see segment_scatter docstring +
-    # PERF.md).  Rows with dst == capacity (masked positions) are dropped.
+    # PERF.md).  The scalar cnt scatter stays SEPARATE deliberately:
+    # folding it into the dedup pass (shared sort, cumsum-diff counts,
+    # chunked cnt writes) measured 2.2 ms SLOWER interleaved — XLA
+    # schedules the standalone scalar scatter nearly for free.  Rows with
+    # dst == capacity (masked positions) are dropped.
     g_dense = segment_scatter.scatter_add_rows(dst, grad, c)
     cnt = jnp.zeros((c,), jnp.int32).at[dst].add(
         jnp.where(ok, lk.counts, 0), mode="drop")

@@ -256,16 +256,19 @@ class Trainer:
         crossed = lk.valid & (lk.slot_ids < cap) \
             & (f_after >= th) & (f_before < th)
 
-        def migrate(values):
-            static = params["_variants"][lname]
-            bkt = hashing.bucket(flat_ids, static.shape[0], salt=3)
-            rows = jax.lax.stop_gradient(
-                static[bkt].astype(tbl.value_dtype))
-            dst = jnp.where(crossed, lk.slot_ids, jnp.int32(cap))
-            return values.at[dst].set(rows, mode="drop")
+        static = params["_variants"][lname]
+        emp = tbl.empty
 
-        values = jax.lax.cond(jnp.any(crossed), migrate,
-                              lambda v: v, tbl.values)
+        def migrated_rows(comp):
+            cids = flat_ids.at[comp].get(mode="fill", fill_value=emp)
+            bkt = hashing.bucket(cids, static.shape[0], salt=3)
+            return jax.lax.stop_gradient(
+                static[bkt].astype(tbl.value_dtype))
+
+        # zero-cost when no id crosses the threshold this step (a lax.cond
+        # gate would copy the whole values array — see chunked_masked_row_set)
+        values = ev.chunked_masked_row_set(
+            tbl.values, crossed, lk.slot_ids, migrated_rows)
         return tbl.replace(values=values)
 
     def _make_acts(self, gathered, lks, handles, features, tables,
