@@ -227,3 +227,46 @@ def test_recycled_slot_rows_reinitialized():
     emb = ev.lookup(t, jnp.arange(100, 130, dtype=jnp.int32))
     assert bool(jnp.all(jnp.isfinite(emb)))
 
+
+
+def test_hot_path_has_no_cond_over_table_buffers():
+    """Regression guard for the round-2c control-flow finding: `lax.cond`
+    pays a pass-through copy of its operands on TPU (~6 ms at [524k, 32]),
+    so the training lookup/apply hot path must gate optional work with
+    while_loops (carry aliased in place), never cond.  Asserts at the
+    jaxpr level so it holds on every backend."""
+
+    import jax
+    from deeprec_tpu.optimizers import sparse as sp
+
+    table = ev.create("guard", dim=8, capacity=1024)
+    table = sp.adagrad().init(table)
+    ids = jnp.arange(64, dtype=table.key_dtype)
+
+    def step(t, ids):
+        t2, lk = ev._lookup_phase(t, ids, step=1, train=True)
+        rows = ev._collect(t2, lk)
+        return sp.adagrad().apply(t2, lk, rows * 0.01, step=1)
+
+    jaxpr = jax.make_jaxpr(step)(table, ids)
+
+    def find_conds(jxp, out):
+        for eqn in jxp.eqns:
+            if eqn.primitive.name == "cond":
+                out.append(eqn)
+            for p in eqn.params.values():
+                vals = p if isinstance(p, (tuple, list)) else [p]
+                for v in vals:
+                    if hasattr(v, "jaxpr"):
+                        find_conds(v.jaxpr, out)
+        return out
+
+    conds = find_conds(jaxpr.jaxpr, [])
+    big = [
+        e for e in conds
+        if any(hasattr(v, "aval") and v.aval.size >= table.capacity
+               for v in e.invars)
+    ]
+    assert not big, (
+        "lax.cond over table-sized buffers reintroduced on the hot path: "
+        f"{big}")
