@@ -683,8 +683,7 @@ def needs_grow(table: EmbeddingTable) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _rebuild(table: EmbeddingTable, new_capacity: int) -> EmbeddingTable:
+def _rebuild_impl(table: EmbeddingTable, new_capacity: int) -> EmbeddingTable:
     live = table.keys != table.empty
     emp = empty_key(table.key_dtype)
     new_keys = jnp.full((new_capacity,), emp, table.key_dtype)
@@ -708,6 +707,16 @@ def _rebuild(table: EmbeddingTable, new_capacity: int) -> EmbeddingTable:
         size=jnp.sum(live).astype(jnp.int32),
         growth_hint=jnp.zeros((), jnp.int32),
     )
+
+
+# NOTE on growth memory (measured, v5e): donating the old table into the
+# growth rebuild does NOT lower peak HBM — XLA buffer donation is strictly
+# input-output aliasing, and no output of a 2x rebuild matches an old-
+# capacity shape, so every donated buffer is reported "not usable" and the
+# old arrays live until the program ends regardless.  Peak during growth is
+# inherently old C + new 2C; budget capacity accordingly (TODO.md item
+# closed as not-applicable).
+_rebuild = functools.partial(jax.jit, static_argnums=(1,))(_rebuild_impl)
 
 
 def grow(table: EmbeddingTable, new_capacity: Optional[int] = None) -> EmbeddingTable:
