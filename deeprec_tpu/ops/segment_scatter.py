@@ -152,6 +152,115 @@ def _kernel_path(u_dst, u_rows, starts, cap, OUTER, W_OUT, BIN, terms,
         cap, d)
 
 
+def _stream_kern(starts_ref, aug_hbm, out_ref, buf, sems,
+                 *, OUTER, W_OUT, P_SUB, BIN, D, DA, terms):
+    """Stream kernel: per output chunk, DMA a DYNAMIC number of BIN-row
+    windows of the (sorted, duplicates-included) position stream and place
+    rows with a one-hot MXU matmul — duplicates sum natively, so no dedup
+    or compaction prep is needed and the kernel is exact for ANY id
+    distribution (a hot id with 100k occurrences just means more windows
+    for its chunk).  Double-buffered HBM->VMEM copies overlap the matmuls.
+
+    The destination slot rides as column D of the augmented rows array
+    (slot ids < 2^24 are exact in f32) so one aligned DMA moves both —
+    Mosaic cannot slice a [N, 1] int stream on the lane dimension.
+    Window starts are rounded down to the sublane tile (8); the overlapped
+    leading rows belong to earlier chunks and mask out via the range check.
+    """
+
+    c = pl.program_id(0)
+    lo = (starts_ref[c] // 8) * 8
+    hi = starts_ref[c + 1]
+    nwin = pl.cdiv(hi - lo, BIN)
+    base = c * OUTER
+    iota_rr = jax.lax.broadcasted_iota(jnp.int32, (BIN, W_OUT), 1)
+    dn = (((0,), (0,)), ((), ()))
+
+    def dma(w, slot):
+        return pltpu.make_async_copy(
+            aug_hbm.at[pl.ds(lo + w * BIN, BIN), :], buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(nwin > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(w, acc):
+        slot = jax.lax.rem(w, 2)
+        dma(w, slot).wait()
+
+        @pl.when(w + 1 < nwin)
+        def _():
+            dma(w + 1, 1 - slot).start()
+
+        aug = buf[slot]                                  # [BIN, DA]
+        local = aug[:, D:D + 1].astype(jnp.int32) - base  # [BIN, 1]
+        ok = (local >= 0) & (local < OUTER)
+        j = jax.lax.shift_right_logical(local, W_OUT.bit_length() - 1)
+        rr = jnp.where(ok, local & (W_OUT - 1), -1)
+        oh = (rr == iota_rr).astype(jnp.bfloat16)        # [BIN, W_OUT]
+        rows = aug[:, :D]                                # [BIN, D]
+        pieces = [jnp.where(j == jj, rows, 0.0) for jj in range(P_SUB)]
+        rem = jnp.concatenate(pieces, axis=1)            # [BIN, P_SUB*D]
+        for _ in range(terms):
+            hi_part = rem.astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                oh, hi_part, dn, preferred_element_type=jnp.float32)
+            rem = rem - hi_part.astype(jnp.float32)
+        return acc
+
+    acc0 = jnp.zeros((W_OUT, P_SUB * D), jnp.float32)
+    acc = jax.lax.fori_loop(0, nwin, body, acc0)
+    out_ref[0, :, :] = acc
+
+
+def _stream_path(dst, rows, cap, OUTER, W_OUT, BIN, terms, interpret):
+    """Sort positions by dst, then run the stream kernel over chunks."""
+
+    n, d = rows.shape
+    P_SUB = OUTER // W_OUT
+    order = jnp.argsort(dst)
+    sdst = dst[order]
+    srows = rows[order]
+    # pad one full extra window (+ start-alignment slack) so any
+    # (lo + w*BIN, BIN) slice is in bounds
+    nb = n // BIN + 2
+    pad = nb * BIN - n
+    sdst = jnp.concatenate([sdst, jnp.full((pad,), cap, sdst.dtype)])
+    srows = jnp.concatenate([srows, jnp.zeros((pad, d), srows.dtype)])
+    # Mosaic lane-pads HBM buffers to 128 and requires DMA slices to cover
+    # whole lane tiles, so the augmented array is exactly 128 wide:
+    # [rows | slot id | zero fill].
+    da = 128
+    aug = jnp.concatenate(
+        [srows, sdst[:, None].astype(jnp.float32),
+         jnp.zeros((srows.shape[0], da - d - 1), jnp.float32)], axis=1)
+    nc = cap // OUTER
+    starts = jnp.searchsorted(
+        sdst, (jnp.arange(nc + 1, dtype=jnp.int32) * OUTER).astype(
+            sdst.dtype)).astype(jnp.int32)
+    packed = pl.pallas_call(
+        functools.partial(_stream_kern, OUTER=OUTER, W_OUT=W_OUT,
+                          P_SUB=P_SUB, BIN=BIN, D=d, DA=da, terms=terms),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nc,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((1, W_OUT, P_SUB * d),
+                                   lambda c, starts: (c, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, BIN, da), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nc, W_OUT, P_SUB * d), jnp.float32),
+        interpret=interpret,
+    )(starts, aug)
+    out = packed.reshape(nc, W_OUT, P_SUB, d).transpose(0, 2, 1, 3).reshape(
+        cap, d)
+    return out
+
+
 def _chunked_path(u_dst, u_rows, n_u, cap, K):
     """Dedup-then-chunked-set: scatter only the live unique rows, K at a time.
 
@@ -207,9 +316,9 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
     strategy = _force
     if strategy is None:
         on_tpu = jax.default_backend() == "tpu"
-        if (on_tpu and rows.dtype == jnp.float32 and d <= 128
+        if (on_tpu and rows.dtype == jnp.float32 and d < 128
                 and n >= 131072):
-            strategy = "chunked"
+            strategy = "stream"
         else:
             strategy = "xla"
     if strategy == "xla":
@@ -220,6 +329,21 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
         u_dst, u_rows = _dedup_sorted(dst, rows, cap)
         n_u = jnp.searchsorted(u_dst, jnp.int32(cap)).astype(jnp.int32)
         return _chunked_path(u_dst, u_rows, n_u, cap, K=min(16384, n))
+
+    if strategy == "stream":
+        d_pad = _pow2ceil(d)
+        P_SUB = 128 // d_pad
+        W_OUT = 256
+        OUTER = W_OUT * P_SUB
+        # the slot-id column must fit inside the 128-lane augmented row
+        if cap % OUTER or cap // OUTER < 8 or d_pad >= 128:
+            return _xla_scatter(dst, rows, cap)
+        if d_pad != d:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((n, d_pad - d), rows.dtype)], axis=1)
+        out = _stream_path(dst, rows, cap, OUTER, W_OUT, min(512, n), terms,
+                           _interpret)
+        return out[:, :d] if d_pad != d else out
 
     # strategy == "kernel"
     d_pad = _pow2ceil(d)

@@ -137,3 +137,40 @@ def test_chunked_path_more_uniques_than_chunk():
         dst, rows, cap, _force="chunked"))
     np.testing.assert_allclose(got, ref_np(dst, rows, cap), rtol=2e-4,
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("pattern", ["uniform", "zipf", "clustered"])
+def test_stream_path_parity_interpret(pattern):
+    # clustered = the adversarial case that needed a guard in the windowed
+    # kernel: the stream kernel handles ANY distribution exactly (a hot
+    # chunk just loops more windows)
+    cap, n, d = 16384, 2048, 16
+    dst, rows = _mk(pattern, cap, n, d)
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        dst, rows, cap, _force="stream", _interpret=True))
+    np.testing.assert_allclose(got, ref_np(dst, rows, cap), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_stream_path_single_hot_id():
+    # one id owns 90% of positions — the duplicate-volume stress case
+    cap, n, d = 16384, 4096, 32
+    rng = np.random.RandomState(9)
+    dst = rng.randint(0, cap, n).astype(np.int32)
+    dst[: int(n * 0.9)] = 12345
+    rows = rng.randn(n, d).astype(np.float32)
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        jnp.asarray(dst), jnp.asarray(rows), cap, _force="stream",
+        _interpret=True))
+    ref = ref_np(jnp.asarray(dst), jnp.asarray(rows), cap)
+    # a 3.7k-deep f32 summation: tolerance scales with the hot row's mass
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_stream_path_all_dropped():
+    cap, n, d = 16384, 2048, 16
+    dst = jnp.full((n,), cap, jnp.int32)
+    rows = jnp.ones((n, d), jnp.float32)
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        dst, rows, cap, _force="stream", _interpret=True))
+    np.testing.assert_allclose(got, 0.0)
