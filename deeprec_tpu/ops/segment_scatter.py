@@ -245,7 +245,7 @@ def _stream_path(dst, rows, cap, OUTER, W_OUT, BIN, terms, interpret):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nc,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec((1, W_OUT, P_SUB * d),
                                    lambda c, starts: (c, 0, 0)),
             scratch_shapes=[
@@ -313,11 +313,15 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
     # volumes the dedup paths win big.  Earlier micro-benchmarks with ~1k
     # unique destinations (cache-resident) understated the XLA cost 10x —
     # always benchmark scatter with production-like UNIQUE counts.
+    # In-step interleaved crossovers (v5e): the stream kernel wins at BOTH
+    # model-zoo id volumes — DLRM 53k ids: 5.97 -> 3.67 ms/step; DIN 209k:
+    # 19.60 -> 14.40.  Below ~32k ids the sort+aug fixed cost is unproven,
+    # so smaller batches keep the XLA scatter.
     strategy = _force
     if strategy is None:
         on_tpu = jax.default_backend() == "tpu"
         if (on_tpu and rows.dtype == jnp.float32 and d < 128
-                and n >= 131072):
+                and n >= 32768):
             strategy = "stream"
         else:
             strategy = "xla"
@@ -335,8 +339,11 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
         P_SUB = 128 // d_pad
         W_OUT = 256
         OUTER = W_OUT * P_SUB
-        # the slot-id column must fit inside the 128-lane augmented row
-        if cap % OUTER or cap // OUTER < 8 or d_pad >= 128:
+        # the slot-id column must fit inside the 128-lane augmented row;
+        # and below ~64 grid steps Mosaic stages the whole input stream in
+        # scoped VMEM (29.5M > 16M limit, observed on wdl's 16k-cap wide
+        # table) — small-cap tables keep the cheap XLA scatter instead.
+        if cap % OUTER or cap // OUTER < 64 or d_pad >= 128:
             return _xla_scatter(dst, rows, cap)
         if d_pad != d:
             rows = jnp.concatenate(

@@ -143,8 +143,9 @@ def test_chunked_path_more_uniques_than_chunk():
 def test_stream_path_parity_interpret(pattern):
     # clustered = the adversarial case that needed a guard in the windowed
     # kernel: the stream kernel handles ANY distribution exactly (a hot
-    # chunk just loops more windows)
-    cap, n, d = 16384, 2048, 16
+    # chunk just loops more windows).  cap/d chosen so cap // OUTER >= 64
+    # (the small-grid Mosaic-VMEM guard would otherwise reroute to XLA).
+    cap, n, d = 32768, 2048, 64
     dst, rows = _mk(pattern, cap, n, d)
     got = np.asarray(segment_scatter.scatter_add_rows(
         dst, rows, cap, _force="stream", _interpret=True))
@@ -154,7 +155,7 @@ def test_stream_path_parity_interpret(pattern):
 
 def test_stream_path_single_hot_id():
     # one id owns 90% of positions — the duplicate-volume stress case
-    cap, n, d = 16384, 4096, 32
+    cap, n, d = 65536, 4096, 32
     rng = np.random.RandomState(9)
     dst = rng.randint(0, cap, n).astype(np.int32)
     dst[: int(n * 0.9)] = 12345
@@ -168,7 +169,7 @@ def test_stream_path_single_hot_id():
 
 
 def test_stream_path_all_dropped():
-    cap, n, d = 16384, 2048, 16
+    cap, n, d = 32768, 2048, 64
     dst = jnp.full((n,), cap, jnp.int32)
     rows = jnp.ones((n, d), jnp.float32)
     got = np.asarray(segment_scatter.scatter_add_rows(
