@@ -25,22 +25,17 @@ bf16 components (2 terms ~ 1e-5 relative, bounded by the cumsum-diff f32
 error, comparable to any large-batch summation order).
 
 STATUS (v5e, honest interleaved readback-slope timing — PERF.md "Segment
-scatter"): at sequence-model id volumes the dedup strategies beat the XLA
-scatter-add decisively.  With the REAL model slot distribution (209k
-positions -> 65k unique slots, DIN batch 2048) the XLA scatter costs
-27 ms isolated / ~21 ms in-step; ``chunked`` (dedup + while_loop of
-compact K-row ``.set``s) costs 8.1 ms isolated and cuts the full DIN
-train step 28.1 -> 19.6 ms (+44% throughput), with the Pallas kernel
-within ~4% of chunked.  Two measurement traps documented the hard way:
+scatter" + "Stream kernel"): production dispatch is **stream** at
+n >= 32k TPU f32 (DIN step 28.1 -> 14.4 ms cumulative; DLRM 5.97 ->
+3.67 ms) and the XLA scatter below — the ``chunked`` (dedup + compact
+``.set`` chunks, the intermediate design that first beat XLA) and
+``kernel`` (windowed dedup'd one-hot, exact with BIN == OUTER)
+strategies remain reachable via ``_force`` with parity tests, as
+measured alternates.  Measurement traps documented the hard way:
 (1) micro-benchmarks with few unique destinations (zipf-clipped ids)
-understate XLA scatter cost ~10x — destination cache locality dominates;
-(2) strategy A/Bs run in separate processes on this shared box drown in
-±45% noise — only interleaved same-process comparisons are valid.
-Dispatch: ``chunked`` at n >= 128k TPU f32 (where dedup amortizes),
-XLA scatter below; the kernel stays reachable via ``_force="kernel"``
-and is EXACT with no runtime guard when dedup'd (BIN == OUTER: a chunk's
-uniques are <= OUTER and contiguous after sorting, so two aligned blocks
-always cover them).
+understate XLA scatter cost ~10x; (2) strategy A/Bs run in separate
+processes on this shared box drown in ±45% noise — only interleaved
+same-process comparisons are valid.
 """
 
 from __future__ import annotations
