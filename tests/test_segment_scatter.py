@@ -175,3 +175,39 @@ def test_stream_path_all_dropped():
     got = np.asarray(segment_scatter.scatter_add_rows(
         dst, rows, cap, _force="stream", _interpret=True))
     np.testing.assert_allclose(got, 0.0)
+
+
+def test_default_dispatch_routes(monkeypatch):
+    """Production dispatch contract: TPU + f32 + n >= 32k + big-enough
+    capacity -> stream kernel; small n, small capacity, or other backends
+    -> XLA scatter.  Guards the thresholds that encode the measured
+    crossovers (PERF.md round 2d)."""
+
+    routed = []
+
+    def fake_stream(dst, rows, cap, OUTER, W_OUT, BIN, terms, interpret):
+        routed.append("stream")
+        return jnp.zeros((cap, rows.shape[1]), rows.dtype)
+
+    monkeypatch.setattr(segment_scatter.jax, "default_backend",
+                        lambda: "tpu")
+    monkeypatch.setattr(segment_scatter, "_stream_path", fake_stream)
+
+    rows_big = jnp.ones((32768, 32), jnp.float32)
+    dst_big = jnp.zeros((32768,), jnp.int32)
+    # 2^19 cap, d=32 -> OUTER=1024, nc=512 >= 64 -> stream
+    segment_scatter.scatter_add_rows(dst_big, rows_big, 2 ** 19)
+    assert routed == ["stream"]
+
+    # small n -> xla (fake_stream not called)
+    segment_scatter.scatter_add_rows(dst_big[:1024], rows_big[:1024], 2 ** 19)
+    assert routed == ["stream"]
+
+    # small capacity (nc < 64) -> xla even at big n
+    segment_scatter.scatter_add_rows(dst_big, rows_big, 2 ** 14)
+    assert routed == ["stream"]
+
+    # non-f32 -> xla
+    segment_scatter.scatter_add_rows(
+        dst_big, rows_big.astype(jnp.bfloat16), 2 ** 19)
+    assert routed == ["stream"]
