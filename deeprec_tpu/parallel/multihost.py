@@ -53,6 +53,21 @@ def initialize(coordinator_address: Optional[str] = None,
     return Mesh(np.asarray(jax.devices()), (axis_name,))
 
 
+def barrier(name: str) -> None:
+    """Block until every process in the cluster reaches this point.
+
+    The reference synchronizes cross-task state transitions with session
+    barriers / chief coordination (monitored_session.py); here the
+    coordination-service barrier does the same for multi-controller JAX —
+    used e.g. before snapshotting a cluster WorkQueue so all in-flight
+    takes have landed, and around multi-process checkpoint save/restore.
+    """
+
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def global_batch(mesh, local_batch, axis_name: str = "data"):
     """Assemble a global sharded batch from per-process local shards."""
 

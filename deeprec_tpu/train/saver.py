@@ -128,6 +128,115 @@ def _bundle_name(path: str, b: int, nb: int) -> str:
     return f"{base}-{b:05d}-of-{nb:05d}.npz"
 
 
+def _mshard_name(path: str, s: int, ns: int) -> str:
+    base = path[:-4] if path.endswith(".npz") else path
+    return f"{base}.mshard-{s:05d}-of-{ns:05d}.npz"
+
+
+# ---------------------------------------------------------------------------
+# multi-process (multi-controller) table export
+#
+# On a multi-host mesh each process can device_get only its ADDRESSABLE
+# shards; the reference solves the same problem by having every task write
+# its own sharded bundle (python/training/saver.py:905).  Here each process
+# writes one ``.mshard-SSSSS-of-NNNNN.npz`` file per table shard it owns;
+# the file carries ``partition_ids`` (the logical 1000-way partitions the
+# shard holds — p % S_saved == s by the runtime routing invariant) so a
+# restore onto ANY shard/process count selects exactly the partitions it
+# owns from every file (embedding_var_restore.cc:337-339 semantics).
+
+
+def _local_template(stacked: ev.EmbeddingTable) -> ev.EmbeddingTable:
+    """A fresh per-shard table matching a stacked table's schema, built from
+    metadata only (no global-array slicing — safe on any process)."""
+
+    import dataclasses as _dc
+
+    cap = int(stacked.keys.shape[-1])
+    opt = _dc.replace(stacked.option, initial_capacity=cap)
+    t = ev.create(stacked.name, stacked.dim,
+                  key_dtype=stacked.key_dtype,
+                  value_dtype=stacked.value_dtype,
+                  option=opt, capacity=cap)
+    inits = dict(stacked.slot_inits)
+    for sname, sval in stacked.slots.items():
+        t = ev.with_slot(t, sname, width=int(sval.shape[-1]),
+                         init=inits.get(sname, 0.0))
+    return t
+
+
+def _addressable_table_shards(table: ev.EmbeddingTable
+                              ) -> Dict[int, ev.EmbeddingTable]:
+    """{global shard index: local (unstacked) table} for the shards of a
+    stacked [S, ...] table whose buffers live on this process's devices."""
+
+    def per_field(x):
+        if x is None or not isinstance(x, jax.Array):
+            return None
+        out = {}
+        for sh in x.addressable_shards:
+            sl = sh.index[0]
+            start = 0 if sl.start is None else sl.start
+            stop = x.shape[0] if sl.stop is None else sl.stop
+            for k in range(start, stop):
+                out[k] = sh.data[k - start]
+        return out
+
+    fields = {}
+    for fname in ("keys", "values", "freqs", "versions", "touched", "cbf",
+                  "size", "growth_hint"):
+        fields[fname] = per_field(getattr(table, fname))
+    slot_fields = {k: per_field(v) for k, v in table.slots.items()}
+
+    out = {}
+    for i in sorted(fields["keys"]):
+        out[i] = table.replace(
+            keys=fields["keys"][i],
+            values=fields["values"][i],
+            slots={k: v[i] for k, v in slot_fields.items()},
+            freqs=None if fields["freqs"] is None else fields["freqs"][i],
+            versions=(None if fields["versions"] is None
+                      else fields["versions"][i]),
+            touched=(None if fields["touched"] is None
+                     else fields["touched"][i]),
+            cbf=None if fields["cbf"] is None else fields["cbf"][i],
+            size=fields["size"][i],
+            growth_hint=fields["growth_hint"][i],
+        )
+    return out
+
+
+def _save_table_mshard(path: str, local: ev.EmbeddingTable, shard_idx: int,
+                       num_saved: int, *, shrink_step=None) -> str:
+    """Dump one owned shard to its mshard file, rows sorted by logical
+    partition with an explicit owned-partition index."""
+
+    part = _export_table_host(local, shrink_step=shrink_step)
+    pids = np.asarray(
+        [p for p in range(SAVED_PARTITIONS) if p % num_saved == shard_idx],
+        np.int64)
+    kpart = _partition_of(part["keys"])
+    order = np.argsort(kpart, kind="stable")
+    psorted = kpart[order]
+    lo = np.searchsorted(psorted, pids, side="left")
+    hi = np.searchsorted(psorted, pids, side="right")
+    if int((hi - lo).sum()) != len(psorted):
+        stray = np.setdiff1d(np.unique(psorted), pids)
+        raise AssertionError(
+            f"shard {shard_idx}/{num_saved} of {local.name!r} holds keys of "
+            f"partitions it does not own: {stray[:8]} — routing invariant "
+            "violated")
+    offsets = np.concatenate([lo, [len(psorted)]]).astype(np.int64)
+    out = {k: v[order] for k, v in part.items()}
+    extra = {}
+    if local.cbf is not None:
+        extra["cbf"] = np.asarray(jax.device_get(local.cbf))
+    fname = _mshard_name(path, shard_idx, num_saved)
+    np.savez(fname, partition_ids=pids, partition_offsets=offsets,
+             **out, **extra)
+    return fname
+
+
 def save_table(path: str, table: ev.EmbeddingTable, *, shrink_step=None,
                num_bundles: int = 1, executor=None) -> List[str]:
     """Dump a table to ``path`` (one npz) or, with ``num_bundles`` > 1, to a
@@ -227,6 +336,9 @@ def _load_selected(path: str, shard_index: int,
     base = path[:-4] if path.endswith(".npz") else path
     files = sorted(_glob.glob(f"{base}-?????-of-?????.npz"))
     if not files:
+        mfiles = sorted(_glob.glob(f"{base}.mshard-?????-of-?????.npz"))
+        if mfiles:
+            return _load_selected_mshards(mfiles, shard_index, num_shards)
         raise FileNotFoundError(f"no table dump at {path} (or bundles)")
 
     def load_one(f):
@@ -243,6 +355,41 @@ def _load_selected(path: str, shard_index: int,
     for _, cbf in loaded:
         if cbf is not None:
             out["cbf"] = cbf
+    return out
+
+
+def _load_selected_mshards(files: List[str], shard_index: int,
+                           num_shards: int) -> Dict[str, np.ndarray]:
+    """Select owned rows (partition % num_shards == shard_index) from a
+    multi-process mshard set.  Per-shard CBF sketches sum saturating into
+    one global sketch (keys route to one owner, so the sum is the global
+    count sketch — same math as the single-process stacked save)."""
+
+    skip = ("partition_ids", "partition_offsets", "cbf")
+
+    def load_one(f):
+        data = np.load(f)
+        pids = data["partition_ids"]
+        offs = data["partition_offsets"]
+        sel = [np.arange(offs[j], offs[j + 1])
+               for j, p in enumerate(pids)
+               if int(p) % num_shards == shard_index]
+        idx = (np.concatenate(sel) if sel else np.arange(0)).astype(np.int64)
+        part = {k: data[k][idx] for k in data.files if k not in skip}
+        cbf = data["cbf"] if "cbf" in data.files else None
+        return part, cbf
+
+    with cf.ThreadPoolExecutor(max_workers=min(len(files), 8)) as ex:
+        loaded = list(ex.map(load_one, files))
+    parts = [p for p, _ in loaded]
+    out = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    cbfs = [c for _, c in loaded if c is not None]
+    if cbfs:
+        dt = cbfs[0].dtype
+        acc = np.zeros(cbfs[0].shape, np.int64)
+        for c in cbfs:
+            acc += c.astype(np.int64)
+        out["cbf"] = np.minimum(acc, np.iinfo(dt).max).astype(dt)
     return out
 
 
@@ -527,15 +674,16 @@ def describe_tables(state) -> Dict[str, Dict]:
 
     out = {}
     for name, t in state.tables.items():
-        t0 = _table_shards(t)[0]
+        # metadata only — no shard materialization (under multi-process
+        # meshes most shards are not addressable from this process)
         out[name] = {
-            "dim": int(t0.dim),
-            "key_dtype": np.dtype(t0.key_dtype).name,
-            "value_dtype": np.dtype(t0.value_dtype).name,
-            "capacity": int(t0.capacity),
-            "slots": {s: int(v.shape[-1]) for s, v in t0.slots.items()},
-            "slot_inits": {k: float(v) for k, v in dict(t0.slot_inits).items()},
-            "option": cfg.option_to_dict(t0.option),
+            "dim": int(t.dim),
+            "key_dtype": np.dtype(t.keys.dtype.name).name,
+            "value_dtype": np.dtype(t.values.dtype.name).name,
+            "capacity": int(t.keys.shape[-1]),
+            "slots": {s: int(v.shape[-1]) for s, v in t.slots.items()},
+            "slot_inits": {k: float(v) for k, v in dict(t.slot_inits).items()},
+            "option": cfg.option_to_dict(t.option),
         }
     return out
 
@@ -593,6 +741,10 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
     """
 
     step = int(state.step) if step is None else step
+    if jax.process_count() > 1:
+        return _save_checkpoint_multiprocess(
+            ckpt_dir, state, step=step, shrink=shrink, tiers=tiers,
+            model_name=model_name)
     d = os.path.join(ckpt_dir, f"step_{step}")
     os.makedirs(d, exist_ok=True)
     np.savez(os.path.join(d, "dense.npz"),
@@ -649,6 +801,131 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
         os.fsync(f.fileno())
     os.replace(tmp, marker)
     return d
+
+
+def _save_checkpoint_multiprocess(ckpt_dir: str, state, *, step: int,
+                                  shrink: bool = False, tiers=None,
+                                  model_name: Optional[str] = None) -> str:
+    """Multi-controller full save: every process writes mshard files for the
+    table shards whose buffers it owns (the reference's per-task sharded
+    bundles, python/training/saver.py:905); process 0 writes the replicated
+    dense state + metadata and flips the commit marker after a cluster
+    barrier.  Requires ``ckpt_dir`` on a filesystem all processes share
+    (NFS/GCS — the same assumption the reference's sharded saver makes)."""
+
+    if tiers:
+        raise NotImplementedError(
+            "tier-complete multi-process checkpointing: dump each process's "
+            "cold stores with the host-KV export path (not yet wired)")
+    from deeprec_tpu.parallel import multihost
+
+    d = os.path.join(ckpt_dir, f"step_{step}")
+    os.makedirs(d, exist_ok=True)
+    meta = {"step": step, "tables": {}, "cold": {}}
+    for name, t in state.tables.items():
+        if t.keys.ndim == 1:
+            raise ValueError(
+                f"table {name!r} is unsharded under a multi-process mesh")
+        num_saved = int(t.keys.shape[0])
+        fname = f"table_{name}.npz"
+        local_shards = _addressable_table_shards(t)
+        for s, local in local_shards.items():
+            _save_table_mshard(os.path.join(d, fname), local, s, num_saved,
+                               shrink_step=state.step if shrink else None)
+        meta["tables"][name] = fname
+    # All shards on disk before the commit point; all processes return only
+    # after the marker exists (a restore on ANY process right after save()
+    # must see the new checkpoint).
+    multihost.barrier(f"ckpt_written_{step}")
+    if jax.process_index() == 0:
+        np.savez(os.path.join(d, "dense.npz"),
+                 **_flatten_params({"params": state.params,
+                                    "opt_state": state.opt_state,
+                                    "auc": state.auc}))
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(d, "model_meta.json"), "w") as f:
+            json.dump({"model_name": model_name,
+                       "tables": describe_tables(state)}, f)
+        marker = os.path.join(ckpt_dir, "checkpoint")
+        tmp = marker + f".tmp{jax.process_index()}"
+        with open(tmp, "w") as f:
+            json.dump({"latest": f"step_{step}"}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)
+    multihost.barrier(f"ckpt_committed_{step}")
+    return d
+
+
+def _assemble_global_table(template: ev.EmbeddingTable,
+                           shards: Dict[int, ev.EmbeddingTable]
+                           ) -> ev.EmbeddingTable:
+    """Local per-shard tables -> one globally-sharded stacked table laid out
+    like ``template`` (same shardings, possibly larger capacity)."""
+
+    num_shards = int(template.keys.shape[0])
+    # device of each owned global shard index, from the template's layout
+    dev_of = {}
+    for sh in template.keys.addressable_shards:
+        sl = sh.index[0]
+        start = 0 if sl.start is None else sl.start
+        stop = template.keys.shape[0] if sl.stop is None else sl.stop
+        for k in range(start, stop):
+            dev_of[k] = sh.device
+    idxs = sorted(dev_of)
+    assert sorted(shards) == idxs, (sorted(shards), idxs)
+
+    def asm(field, tmpl_leaf):
+        vals = {i: field(shards[i]) for i in idxs}
+        if any(v is None for v in vals.values()):
+            return None
+        arrs = [jax.device_put(np.asarray(jax.device_get(vals[i]))[None],
+                               dev_of[i]) for i in idxs]
+        shape = (num_shards,) + arrs[0].shape[1:]
+        return jax.make_array_from_single_device_arrays(
+            shape, tmpl_leaf.sharding, arrs)
+
+    first = shards[idxs[0]]
+    return template.replace(
+        keys=asm(lambda t: t.keys, template.keys),
+        values=asm(lambda t: t.values, template.values),
+        slots={k: asm(lambda t, k=k: t.slots[k], template.slots[k])
+               for k in first.slots},
+        freqs=asm(lambda t: t.freqs, template.freqs),
+        versions=asm(lambda t: t.versions, template.versions),
+        touched=asm(lambda t: t.touched, template.touched),
+        cbf=asm(lambda t: t.cbf, template.cbf),
+        size=asm(lambda t: t.size, template.size),
+        growth_hint=asm(lambda t: t.growth_hint, template.growth_hint),
+    )
+
+
+def _restore_table_multiprocess(fname: str, template: ev.EmbeddingTable
+                                ) -> ev.EmbeddingTable:
+    """Restore one stacked table on a multi-process mesh: each process loads
+    and rebuilds only the shards it owns, capacities are aligned cluster-wide
+    (max), and the global array is assembled from the local pieces."""
+
+    from jax.experimental import multihost_utils
+
+    num_shards = int(template.keys.shape[0])
+    tmpl = _local_template(template)
+    owned = sorted({
+        k for sh in template.keys.addressable_shards
+        for k in range(
+            0 if sh.index[0].start is None else sh.index[0].start,
+            template.keys.shape[0] if sh.index[0].stop is None
+            else sh.index[0].stop)})
+    shards = {s: restore_table(fname, tmpl, shard_index=s,
+                               num_shards=num_shards)
+              for s in owned}
+    local_max = max(sh.capacity for sh in shards.values())
+    cap = int(np.max(multihost_utils.process_allgather(
+        np.asarray([local_max], np.int64))))
+    shards = {s: (ev.grow(sh, cap) if sh.capacity < cap else sh)
+              for s, sh in shards.items()}
+    return _assemble_global_table(template, shards)
 
 
 class AsyncCheckpointer:
@@ -761,16 +1038,28 @@ def restore_checkpoint(ckpt_path: str, state_template, *,
         if rows.shape[1] != tier.row_floats:
             rows = _remap_cold_rows(name, info, rows, tier)
         tier.import_cold(cold["keys"], rows, cold["freqs"])
+    multiproc = jax.process_count() > 1
     dense = dict(np.load(os.path.join(ckpt_path, "dense.npz")))
     restored_dense = _unflatten_params(
         {"params": state_template.params,
          "opt_state": state_template.opt_state,
          "auc": state_template.auc}, dense)
+    if multiproc:
+        # replicate across the cluster with the template's layout (every
+        # process loaded the identical host values from the shared dir)
+        restored_dense = jax.tree.map(
+            lambda tmpl, h: (jax.device_put(np.asarray(h), tmpl.sharding)
+                             if isinstance(tmpl, jax.Array) else h),
+            {"params": state_template.params,
+             "opt_state": state_template.opt_state,
+             "auc": state_template.auc}, restored_dense)
     tables = {}
     for name, t in state_template.tables.items():
         fname = os.path.join(ckpt_path, meta["tables"][name])
         if t.keys.ndim == 1:
             tables[name] = restore_table(fname, t, shard_index=0, num_shards=1)
+        elif multiproc:
+            tables[name] = _restore_table_multiprocess(fname, t)
         else:
             from deeprec_tpu.parallel.trainer import local_view, relift
             import jax as _jax
@@ -780,10 +1069,14 @@ def restore_checkpoint(ckpt_path: str, state_template, *,
             shards = [restore_table(fname, tmpl, shard_index=i, num_shards=s)
                       for i in range(s)]
             tables[name] = _stack_shards(shards)
+    step = jnp.asarray(meta["step"], jnp.int32)
+    if multiproc and isinstance(state_template.step, jax.Array):
+        step = jax.device_put(np.asarray(meta["step"], np.int32),
+                              state_template.step.sharding)
     return state_template.replace(
         params=restored_dense["params"],
         opt_state=restored_dense["opt_state"],
         auc=restored_dense["auc"],
         tables=tables,
-        step=jnp.asarray(meta["step"], jnp.int32),
+        step=step,
     )

@@ -14,7 +14,11 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+# 4 global devices regardless of process count (2x2 or 1x4) so checkpoints
+# restore across different process layouts of the SAME logical mesh.
+_NPROCS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={4 // _NPROCS}")
 
 
 def main():
@@ -23,10 +27,14 @@ def main():
     coord_port = int(sys.argv[3])
     wq_port = int(sys.argv[4])
     out_path = sys.argv[5]
+    phase = sys.argv[6] if len(sys.argv) > 6 else "wq_train"
+    ckpt_dir = sys.argv[7] if len(sys.argv) > 7 else None
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    if phase != "wq_train":
+        return ckpt_phase(pid, nprocs, coord_port, out_path, phase, ckpt_dir)
 
     import numpy as np
     import optax
@@ -66,6 +74,10 @@ def main():
         item = wq.take()
         if item is not None:
             taken.append(item)
+    # Barrier before the snapshot: without it process 0 can capture queue
+    # state while process 1's takes are still in flight (the round-2 flake —
+    # restored_size 6 != 4).  The snapshot must observe all 4 takes.
+    multihost.barrier("wq_takes_done")
     saved_state = wq.state()
 
     # -- distributed training over the combined mesh -----------------------
@@ -119,6 +131,111 @@ def main():
         with open(out_path, "w") as f:
             json.dump(result, f)
         server.close()
+    print("WORKER_OK", pid, flush=True)
+
+
+def _build_trainer(mesh):
+    import jax.numpy as jnp
+    import optax
+
+    from deeprec_tpu.models import base, nn
+    from deeprec_tpu.optimizers import sparse
+    from deeprec_tpu.parallel.trainer import DistributedTrainer
+
+    cols = base.CATEGORICAL_COLUMNS[:4]
+    specs = {c: base.TableSpec(name=c, dim=8, initial_capacity=2 ** 12)
+             for c in cols}
+
+    def init_params(key):
+        return {"mlp": nn.mlp_init(key, 13 + 8 * len(cols), [64, 1])}
+
+    def forward(params, batch, acts, train=True):
+        x = jnp.concatenate(
+            [batch["dense"]] + [acts[c] for c in cols], axis=1)
+        return nn.mlp_apply(params["mlp"], x)[:, 0]
+
+    model = base.RecModel(name="tiny", table_specs=specs,
+                          init_params=init_params, forward=forward)
+    return DistributedTrainer(
+        model=model, mesh=mesh,
+        sparse_optimizer=sparse.adagrad(lr=0.05),
+        dense_tx=optax.adagrad(0.05),
+        per_shard_capacity=2 ** 10,
+    )
+
+
+def _run_steps(tr, mesh, state, pid, nprocs, *, seed, steps):
+    """Deterministic global batch stream (identical regardless of process
+    layout); each process feeds its contiguous slice."""
+    import jax
+    import numpy as np
+
+    from deeprec_tpu.data.synthetic import SyntheticCriteo
+    from deeprec_tpu.parallel import multihost
+
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=2000, seed=seed)
+    it = iter(gen)
+    losses = []
+    for _ in range(steps):
+        full = next(it)
+        lo = pid * (256 // nprocs)
+        hi = lo + 256 // nprocs
+        local = jax.tree.map(lambda v: np.asarray(v)[lo:hi], full)
+        gbatch = multihost.global_batch(mesh, local)
+        state, m = tr.train_step(state, gbatch)
+        losses.append(float(m["loss"]))
+    return state, losses
+
+
+def ckpt_phase(pid, nprocs, coord_port, out_path, phase, ckpt_dir):
+    """Multi-process checkpoint lifecycle (VERDICT r2 item 3):
+
+    phase "save":   train 6 steps on the cluster, save_checkpoint (each
+                    process writes its addressable shards as mshard files —
+                    the reference's per-task sharded bundles,
+                    python/training/saver.py:905), record state.
+    phase "resume": fresh cluster (possibly a DIFFERENT process count over
+                    the same 4-device mesh), restore_checkpoint, verify step
+                    continuity, train 4 more steps — losses must match any
+                    other process layout bit-for-bit-ish (same SPMD math).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deeprec_tpu.parallel import multihost
+    from deeprec_tpu.train import saver
+
+    mesh = multihost.initialize(
+        coordinator_address=f"localhost:{coord_port}" if nprocs > 1 else None,
+        num_processes=nprocs, process_id=pid)
+    assert len(jax.devices()) == 4
+    tr = _build_trainer(mesh)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    result = {"pid": pid, "n_devices": len(jax.devices())}
+
+    if phase == "save":
+        state, losses = _run_steps(tr, mesh, state, pid, nprocs,
+                                   seed=1, steps=6)
+        d = saver.save_checkpoint(ckpt_dir, state)
+        result["losses"] = losses
+        result["ckpt"] = d
+        result["sizes"] = {n: int(jnp.sum(t.size))
+                           for n, t in state.tables.items()}
+    elif phase == "resume":
+        path = saver.latest_checkpoint(ckpt_dir)
+        state = saver.restore_checkpoint(path, state)
+        result["restored_step"] = int(state.step)
+        result["sizes"] = {n: int(jnp.sum(t.size))
+                           for n, t in state.tables.items()}
+        state, losses = _run_steps(tr, mesh, state, pid, nprocs,
+                                   seed=101, steps=4)
+        result["losses"] = losses
+        result["final_step"] = int(state.step)
+    else:
+        raise ValueError(phase)
+
+    with open(out_path, "w") as f:
+        json.dump(result, f)
     print("WORKER_OK", pid, flush=True)
 
 

@@ -64,3 +64,63 @@ def test_two_process_training_and_work_queue(tmp_path):
     assert len(r0["taken"]) + len(r1["taken"]) == 4
     # queue checkpoint state restores (4 of 8 items consumed at save time)
     assert r0["restored_size"] == 4
+
+
+def _run_cluster(nprocs, phase, ckpt_dir, tmp_path, tag):
+    coord = _free_port()
+    outs = [str(tmp_path / f"{tag}_out{i}.json") for i in range(nprocs)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+             str(i), str(nprocs), str(coord), "0", outs[i], phase,
+             str(ckpt_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(nprocs)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"{tag} proc {i} failed:\n{logs[i][-3000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
+def test_multiprocess_checkpoint_save_kill_restore(tmp_path):
+    """VERDICT r2 item 3: per-process export of addressable shards, restore
+    across a *different* process count, save -> kill -> restore -> continue.
+
+    Three clusters over the same logical 4-device mesh:
+      (a) 2 processes train 6 steps and checkpoint (each process writes only
+          its own shards — the multi-process mshard path);
+      (b) a fresh 2-process cluster restores and trains 4 more steps;
+      (c) a single process (4 local devices) restores the SAME checkpoint
+          and trains the same 4 steps.
+    (b) and (c) must agree: step continuity, table sizes, and the loss
+    trajectory of the continuation — the reference's reshard-on-restore
+    semantics (embedding_var_restore.cc:337-339) across process layouts.
+    """
+    ckpt = tmp_path / "ckpt"
+    save = _run_cluster(2, "save", ckpt, tmp_path, "save")
+    assert save[0]["sizes"] == save[1]["sizes"]
+    assert all(s > 0 for s in save[0]["sizes"].values())
+    # the save cluster is dead (processes exited) — restore into new ones
+    r2 = _run_cluster(2, "resume", ckpt, tmp_path, "r2")
+    r1 = _run_cluster(1, "resume", ckpt, tmp_path, "r1")
+    for r in (r2[0], r2[1], r1[0]):
+        assert r["restored_step"] == 6
+        assert r["final_step"] == 10
+        # every live row survived the round trip
+        assert r["sizes"] == save[0]["sizes"]
+    # SPMD: both processes of the resume cluster agree exactly
+    assert r2[0]["losses"] == pytest.approx(r2[1]["losses"], rel=1e-6)
+    # and the 1-process layout reproduces the 2-process continuation
+    assert r1[0]["losses"] == pytest.approx(r2[0]["losses"], rel=1e-4)
