@@ -106,13 +106,23 @@ def sharded_lookup(
     step: jnp.ndarray | int = 0,
     train: bool = True,
     bucket_factor: float = 2.0,
-) -> Tuple[ev.EmbeddingTable, jnp.ndarray, ExchangeCtx]:
+    with_freqs: bool = False,
+    migrate=None,
+):
     """Model-parallel lookup executed per-device inside shard_map.
 
     Returns (new_local_table, gathered [N, D] rows for this device's batch,
-    ctx for the gradient exchange).  Forward data path:
+    ctx for the gradient exchange) — plus, with ``with_freqs``, the owner's
+    post-update frequency of every position ([N] int32, 0 for missing),
+    which feeds the requester-side variant paths (dynamic-dim block masks /
+    adaptive hot-cold selection: the role of EVGetFrequency,
+    core/ops/kv_variable_ops.cc:74-885).  Forward data path:
       local dedup → bucket by owner → all_to_all ids over ICI →
       owner lookup-or-insert → all_to_all embeddings back → unpack.
+
+    ``migrate``: optional owner-side hook ``(table, lk) -> table`` run after
+    the lookup phase and before row collection (adaptive-embedding row
+    seeding at the hot-crossing — embedding_ops.py:667 ``ev_init_value``).
     """
 
     num_shards = lax.psum(1, axis_name)
@@ -134,18 +144,32 @@ def sharded_lookup(
         local_table, flat, step=step, train=train,
         external_counts=recv_counts.reshape(-1),
     )
+    if migrate is not None and train:
+        new_table = migrate(new_table, lk)
     rows = ev.collect(new_table, lk)          # [S*CAP, D] per received position
     emb = rows.reshape(num_shards, cap, -1)
     # embeddings back to requesters
     emb_back = lax.all_to_all(emb, axis_name, 0, 0, tiled=True)
     # unpack to local unique rows; dropped/padded rows read zeros
     safe_dest = dest.clip(0, num_shards - 1)
-    gathered_u = emb_back[safe_dest, pos.clip(0, cap - 1)]
+    safe_pos = pos.clip(0, cap - 1)
+    gathered_u = emb_back[safe_dest, safe_pos]
     ok = valid & (pos < cap)
     gathered_u = jnp.where(ok[:, None], gathered_u, 0.0)
     ctx = ExchangeCtx(uids=uids, counts=counts, inverse=inverse, dest=dest,
                       pos=pos, owner_lk=lk, n_dropped=n_dropped)
-    return new_table, gathered_u[inverse], ctx
+    if not with_freqs:
+        return new_table, gathered_u[inverse], ctx
+    if new_table.freqs is None:
+        raise ValueError(
+            f"table {new_table.name!r}: with_freqs requires record_freq")
+    safe_slot = jnp.where(lk.slot_ids < new_table.capacity, lk.slot_ids,
+                          jnp.int32(new_table.capacity))
+    f_owner = new_table.freqs.at[safe_slot].get(mode="fill", fill_value=0)
+    f_back = lax.all_to_all(f_owner.reshape(num_shards, cap),
+                            axis_name, 0, 0, tiled=True)
+    f_u = jnp.where(ok, f_back[safe_dest, safe_pos], 0)
+    return new_table, gathered_u[inverse], f_u[inverse], ctx
 
 
 def sharded_apply(
@@ -166,6 +190,22 @@ def sharded_apply(
     owner row, apply.
     """
 
+    g_flat = grad_exchange(ctx, grad, axis_name, bucket_factor=bucket_factor)
+    # per-position grads feed the apply directly: duplicate received ids are
+    # summed by the dense gradient accumulation (engine v2) — no owner-side
+    # segment_sum needed.
+    return optimizer.apply(local_table, ctx.owner_lk, g_flat, step=step,
+                           use_counts=use_counts)
+
+
+def grad_exchange(ctx: ExchangeCtx, grad: jnp.ndarray, axis_name: str,
+                  *, bucket_factor: float = 2.0) -> jnp.ndarray:
+    """Route per-position grads to their owner shards: [N, D] local →
+    [S*CAP, D] owner-side, aligned with ``ctx.owner_lk`` positions.  Split
+    from ``sharded_apply`` so bounded-staleness mode can exchange THIS
+    step's grads while applying the k-steps-old ones (the async-embedding
+    pipeline, config.proto:328)."""
+
     num_shards = lax.psum(1, axis_name)
     u = ctx.uids.shape[0]
     # per-unique grads: transpose of gathered_u[inverse]
@@ -178,9 +218,4 @@ def sharded_apply(
         ctx.pos.clip(0, cap - 1),
     ].set(gu, mode="drop")
     recv = lax.all_to_all(send, axis_name, 0, 0, tiled=True)   # [S, CAP, D]
-    g_flat = recv.reshape(num_shards * cap, -1)
-    # per-position grads feed the apply directly: duplicate received ids are
-    # summed by the dense gradient accumulation (engine v2) — no owner-side
-    # segment_sum needed.
-    return optimizer.apply(local_table, ctx.owner_lk, g_flat, step=step,
-                           use_counts=use_counts)
+    return recv.reshape(num_shards * cap, -1)

@@ -153,18 +153,33 @@ class DistributedTrainer:
     # Cold rows are promoted per owner shard before each step; demotion
     # replaces growth at the HBM watermark (parallel/tiers.py).
     tiers: Any = None
+    # MicroBatch: gradient accumulation by in-step duplication
+    # (graph_execution_state.cc:635-727) — same semantics as
+    # Trainer(micro_batch_num=N), per mesh shard.
+    micro_batch_num: int = 1
+    # Bounded-staleness delayed gradients (the async-PS / async-embedding
+    # capability, config.proto:328): grads computed at step t are exchanged
+    # to owner shards immediately but applied at step t+k via a
+    # device-resident FIFO of owner-side (Lookup, grad) pairs in
+    # TrainState.pending — exactly Trainer(staleness=k) on the mesh, where
+    # it matters most (the apply leaves the critical path between the
+    # all-to-alls).
+    staleness: int = 0
 
     def __post_init__(self):
+        if self.staleness and self.micro_batch_num > 1:
+            raise ValueError("staleness and micro_batch_num>1 are exclusive")
         for n, s in self.model.table_specs.items():
-            if getattr(s, "variant", None) is not None:
+            if getattr(s, "variant", None) == "dynamic_dim" \
+                    and self.staleness:
                 raise NotImplementedError(
-                    f"table {n!r}: variant embeddings (multihash/dynamic_dim/"
-                    "adaptive) are a single-chip Trainer feature; shard them "
-                    "as regular tables or train on one chip")
+                    f"table {n!r}: dynamic_dim + staleness untested together")
         self.compute_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
         self.plan = grp.plan_groups(self.model.table_specs)
         self.num_shards = self.mesh.shape[self.axis]
         self._train_step = None  # built lazily (needs state spec)
+        self._built_with_pending = False
+        self._pending_stale = False
         self._pending_drops = []
         self.total_dropped = 0
         # serializes cold-store mutation (stager prepare vs demote re-sync)
@@ -176,8 +191,13 @@ class DistributedTrainer:
 
     def init_state(self, key) -> TrainState:
         from deeprec_tpu import config as cfg
+        from deeprec_tpu.train.loop import init_variant_params
 
         params = self.model.init_params(key)
+        vparams = init_variant_params(self.model, key)
+        if vparams:
+            params = dict(params)
+            params["_variants"] = vparams
         tables = {}
         for pname, pspec in self.plan.physical.items():
             cap = self.per_shard_capacity or max(
@@ -213,6 +233,7 @@ class DistributedTrainer:
             },
             step=ns(P()),
             auc=jax.tree.map(lambda _: ns(P()), state.auc),
+            pending=jax.tree.map(lambda _: ns(P(axis)), state.pending),
         )
 
     def state_pspec(self, state: TrainState):
@@ -222,18 +243,25 @@ class DistributedTrainer:
             tables={n: table_pspec(t, self.axis) for n, t in state.tables.items()},
             step=P(),
             auc=jax.tree.map(lambda _: P(), state.auc),
+            # owner-side FIFO entries live per shard
+            pending=jax.tree.map(lambda _: P(self.axis), state.pending),
         )
 
     # -- step body (runs per device inside shard_map) ----------------------
 
-    def _body(self, state: TrainState, batch: Dict, train: bool):
+    def _sharded_lookups(self, tables: Dict, features: Dict, params,
+                         step, train: bool):
+        """Grouped sharded lookup: one all_to_all pair per physical table.
+        Returns (tables, ctxs, looked, freqs, handles).  Variant tables get
+        their dedicated plumbing: adaptive migration runs owner-side (the
+        table rows live with their owner shard), and dynamic-dim / adaptive
+        hot-cold selection needs per-position frequencies exchanged back."""
+
+        from deeprec_tpu.train.loop import adaptive_migrate
+
         model = self.model
         axis = self.axis
-        features = make_features(model, batch)
-        tables = {n: local_view(t) for n, t in state.tables.items()}
-
-        # grouped sharded lookup: one all_to_all pair per physical table
-        ctxs, looked, handles = {}, {}, {}
+        ctxs, looked, handles, freqs = {}, {}, {}, {}
         for pname, pspec in self.plan.physical.items():
             parts, off = [], 0
             grouped = len(pspec.members) > 1
@@ -253,69 +281,179 @@ class DistributedTrainer:
                     handles[fname] = (pname, (off, n))
                     off += n
             flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-            tbl, rows, ctx = sh.sharded_lookup(
-                tables[pname], flat, axis, step=state.step, train=train,
-                bucket_factor=self.bucket_factor)
+            spec0 = model.table_specs[pspec.members[0][0]]
+            variant = (getattr(spec0, "variant", None)
+                       if not grouped else None)
+            migrate = None
+            if train and variant == "adaptive" and params is not None:
+                lname0 = pspec.members[0][0]
+                static = params["_variants"][lname0]
+                migrate = (lambda t, lk, spec0=spec0, static=static:
+                           adaptive_migrate(spec0, t, lk, lk.uids, static))
+            if variant in ("dynamic_dim", "adaptive"):
+                tbl, rows, f, ctx = sh.sharded_lookup(
+                    tables[pname], flat, axis, step=step, train=train,
+                    bucket_factor=self.bucket_factor, with_freqs=True,
+                    migrate=migrate)
+                freqs[pname] = f
+            else:
+                tbl, rows, ctx = sh.sharded_lookup(
+                    tables[pname], flat, axis, step=step, train=train,
+                    bucket_factor=self.bucket_factor, migrate=migrate)
             tables[pname] = tbl
             ctxs[pname] = ctx
             looked[pname] = rows          # [N_flat, D] per-position rows
-        n_dropped = sum(ctx.n_dropped for ctx in ctxs.values())
+        return tables, ctxs, looked, freqs, handles
 
-        def loss_fn(params, looked):
-            acts = {}
-            for fname, feat in features.items():
-                lname = fname.split(":")[0]
-                spec = model.table_specs[lname]
+    def _make_acts(self, looked, freqs, handles, features, tables, params):
+        """Per-feature activations from the gathered per-position rows —
+        variant tables (TableSpec.variant) take their dedicated row paths,
+        mirroring Trainer._make_acts on the sharded data."""
+
+        from deeprec_tpu.ops import hashing
+
+        model = self.model
+        acts = {}
+        for fname, feat in features.items():
+            lname = fname.split(":")[0]
+            spec = model.table_specs[lname]
+            variant = getattr(spec, "variant", None)
+            if variant == "multihash":
+                # Q-R compositional tables are replicated dense params —
+                # no exchange needed, grads ride the pmean all-reduce
+                from deeprec_tpu.embedding import variants as vr
+
+                ids_flat = lkp._ids2d(feat.ids).reshape(-1)
+                rows = vr.multihash_lookup(
+                    params["_variants"][lname], ids_flat,
+                    operation=spec.multihash_op)
+                empty = ev.empty_key(feat.ids.dtype)
+            else:
                 pname, (off, n) = handles[fname]
                 rows = lax.dynamic_slice_in_dim(looked[pname], off, n)
-                rows = rows.astype(self.compute_dtype)
-                ident = jnp.arange(n, dtype=jnp.int32)
                 empty = tables[pname].empty
-                if feat.ids.ndim >= 2:
-                    acts[fname] = lkp.sequence_embedding(rows, ident, feat, empty)
-                else:
-                    acts[fname] = lkp.combine(rows, ident, feat, empty,
-                                              spec.combiner)
-            dense_in = dict(batch)
-            dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
-            logits = model.forward(params, dense_in, acts, train)
-            loss, plogits, plabels = model_loss(model, logits, batch)
-            return loss, (plogits, plabels)
+                if variant in ("dynamic_dim", "adaptive"):
+                    freq = lax.dynamic_slice_in_dim(freqs[pname], off, n)
+                if variant == "dynamic_dim":
+                    bn = jnp.ones_like(freq)
+                    for th in spec.dyn_dim_thresholds:
+                        bn = bn + (freq >= th).astype(bn.dtype)
+                    nblocks = spec.dim // spec.dyn_dim_block
+                    blk = lax.broadcasted_iota(jnp.int32, (n, nblocks), 1)
+                    mask = (blk < bn[:, None]).astype(rows.dtype)
+                    rows = rows * jnp.repeat(mask, spec.dyn_dim_block, axis=1)
+                elif variant == "adaptive":
+                    static = params["_variants"][lname]
+                    ids_flat = lkp._ids2d(feat.ids).reshape(-1)
+                    bkt = hashing.bucket(ids_flat, static.shape[0], salt=3)
+                    hot = freq >= spec.adaptive_threshold
+                    rows = jnp.where(hot[:, None], rows,
+                                     static[bkt].astype(rows.dtype))
+            rows = rows.astype(self.compute_dtype)
+            ident = jnp.arange(rows.shape[0], dtype=jnp.int32)
+            if feat.ids.ndim >= 2:
+                acts[fname] = lkp.sequence_embedding(rows, ident, feat, empty)
+            else:
+                acts[fname] = lkp.combine(rows, ident, feat, empty,
+                                          spec.combiner)
+        return acts
+
+    def _body(self, state: TrainState, batch: Dict, train: bool):
+        model = self.model
+        axis = self.axis
+        tables = {n: local_view(t) for n, t in state.tables.items()}
 
         if not train:
-            loss, (logits, _) = loss_fn(state.params, looked)
-            return logits, lax.pmean(loss, axis)
+            features = make_features(model, batch)
+            tables, ctxs, looked, freqs, handles = self._sharded_lookups(
+                tables, features, state.params, state.step, False)
+            acts = self._make_acts(looked, freqs, handles, features, tables,
+                                   state.params)
+            dense_in = dict(batch)
+            dense_in["dense"] = batch["dense"].astype(self.compute_dtype)
+            logits = model.forward(state.params, dense_in, acts, False)
+            loss, plogits, _ = model_loss(model, logits, batch)
+            return plogits, lax.pmean(loss, axis)
 
-        (loss, (logits, plabels)), (gp, gl) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(state.params, looked)
+        m = self.micro_batch_num
+        nrows = batch["dense"].shape[0]
+        assert nrows % m == 0, \
+            f"local batch {nrows} not divisible by micro_batch_num {m}"
+        sz = nrows // m
+        dense_acc = jax.tree.map(jnp.zeros_like, state.params)
+        loss_acc = jnp.zeros((), jnp.float32)
+        auc_delta = M.AucState.create()
+        n_dropped = jnp.zeros((), jnp.int32)
+        pending = state.pending
 
-        # dense: sync data-parallel all-reduce
-        gp = jax.tree.map(lambda g: lax.pmean(g, axis), gp)
+        for i in range(m):
+            mb = (batch if m == 1
+                  else jax.tree.map(lambda x: x[i * sz:(i + 1) * sz], batch))
+            features = make_features(model, mb)
+            tables, ctxs, looked, freqs, handles = self._sharded_lookups(
+                tables, features, state.params, state.step, True)
+            n_dropped = n_dropped + sum(
+                ctx.n_dropped for ctx in ctxs.values())
+
+            def loss_fn(params, looked, mb=mb, freqs=freqs, handles=handles,
+                        features=features, tables=tables):
+                acts = self._make_acts(looked, freqs, handles, features,
+                                       tables, params)
+                dense_in = dict(mb)
+                dense_in["dense"] = mb["dense"].astype(self.compute_dtype)
+                logits = model.forward(params, dense_in, acts, True)
+                loss, plogits, plabels = model_loss(model, logits, mb)
+                return loss, (plogits, plabels)
+
+            (loss, (logits, plabels)), (gp, gl) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(state.params, looked)
+            dense_acc = jax.tree.map(jnp.add, dense_acc, gp)
+            loss_acc = loss_acc + loss
+
+            if self.staleness > 0:
+                # exchange THIS step's grads to owners now; apply the
+                # k-steps-old entry (bounded staleness — config.proto:328)
+                pending = dict(pending)
+                for pname, g in gl.items():
+                    g_flat = sh.grad_exchange(
+                        ctxs[pname], g, axis,
+                        bucket_factor=self.bucket_factor)
+                    fifo = pending[pname]
+                    old_lk, old_g = fifo[0]
+                    pending[pname] = tuple(fifo[1:]) + (
+                        (ctxs[pname].owner_lk, g_flat),)
+                    tables[pname] = self.sparse_optimizer.apply(
+                        tables[pname], old_lk, old_g,
+                        step=state.step, use_counts=self.use_counts)
+            else:
+                for pname, g in gl.items():
+                    tables[pname] = sh.sharded_apply(
+                        tables[pname], ctxs[pname], g, self.sparse_optimizer,
+                        axis, step=state.step, use_counts=self.use_counts,
+                        bucket_factor=self.bucket_factor)
+            auc_delta = M.auc_update(auc_delta, logits, plabels)
+
+        # dense: one sync data-parallel all-reduce per step (pmean is
+        # linear — accumulating locally then reducing equals per-micro-batch
+        # reduction, at 1/m the collective cost)
+        gp = jax.tree.map(lambda g: lax.pmean(g, axis) / m, dense_acc)
         updates, opt_state = self.dense_tx.update(gp, state.opt_state,
                                                   state.params)
         params = optax.apply_updates(state.params, updates)
 
-        # sparse: reverse all_to_all to owner shards
-        for pname, g in gl.items():
-            tables[pname] = sh.sharded_apply(
-                tables[pname], ctxs[pname], g, self.sparse_optimizer, axis,
-                step=state.step, use_counts=self.use_counts,
-                bucket_factor=self.bucket_factor)
-
         # replicated streaming AUC: accumulate global deltas
-        delta = M.auc_update(M.AucState.create(), logits, plabels)
         auc = M.AucState(
-            tp=state.auc.tp + lax.psum(delta.tp, axis),
-            fp=state.auc.fp + lax.psum(delta.fp, axis),
-            n_pos=state.auc.n_pos + lax.psum(delta.n_pos, axis),
-            n_neg=state.auc.n_neg + lax.psum(delta.n_neg, axis),
+            tp=state.auc.tp + lax.psum(auc_delta.tp, axis),
+            fp=state.auc.fp + lax.psum(auc_delta.fp, axis),
+            n_pos=state.auc.n_pos + lax.psum(auc_delta.n_pos, axis),
+            n_neg=state.auc.n_neg + lax.psum(auc_delta.n_neg, axis),
         )
         new_state = state.replace(
             params=params, opt_state=opt_state,
             tables={n: relift(t) for n, t in tables.items()},
-            step=state.step + 1, auc=auc,
+            step=state.step + 1, auc=auc, pending=pending,
         )
-        metrics = {"loss": lax.pmean(loss, axis),
+        metrics = {"loss": lax.pmean(loss_acc / m, axis),
                    "n_dropped": lax.psum(n_dropped, axis)}
         return new_state, metrics
 
@@ -338,8 +476,30 @@ class DistributedTrainer:
         smap_eval = jax.shard_map(
             eval_body, mesh=self.mesh, in_specs=(sspec, bspec),
             out_specs=(P(self.axis), P()), check_vma=False)
+        self._smap_train = smap_train
         self._train_step = jax.jit(smap_train, donate_argnums=(0,))
         self._eval_step = jax.jit(smap_eval)
+        self._built_with_pending = state.pending is not None
+
+    def _prime_pending(self, state: TrainState, batch: Dict) -> TrainState:
+        """Ensure the staleness FIFO exists and matches the current bucket
+        sizing (re-primed after widen_on_drop rebuilds — capacity changes
+        relocate bucket positions, and bounded-staleness semantics allow
+        dropping the in-flight window)."""
+
+        if not self.staleness:
+            return state
+        if self._pending_stale:
+            state = state.replace(pending=None)
+            self._pending_stale = False
+        if state.pending is None:
+            state = state.replace(pending=self._zero_pending(state, batch))
+        return state
+
+    def _ensure_steps(self, state: TrainState, batch: Dict):
+        if (self._train_step is None
+                or (state.pending is not None) != self._built_with_pending):
+            self._build_steps(state, batch)
 
     def train_step(self, state: TrainState, batch: Dict, payloads=None):
         if self.tiers:
@@ -347,12 +507,111 @@ class DistributedTrainer:
                 payloads = [p] if (p := self.prepare_payloads(batch)) else []
             state = self._apply_payloads(state, payloads)
         batch = self._shard_batch(batch)
-        if self._train_step is None:
-            self._build_steps(state, batch)
+        state = self._prime_pending(state, batch)
+        self._ensure_steps(state, batch)
         state, metrics = self._train_step(state, batch)
         if self.widen_on_drop:
             self._check_drops(metrics["n_dropped"])
         return state, metrics
+
+    def _zero_pending(self, state: TrainState, batch: Dict):
+        """Globally-sharded staleness FIFO primed with no-op entries
+        (valid=False everywhere → the masked apply touches nothing), shaped
+        like the owner-side quantities ``_sharded_lookups`` produces for
+        batches shaped like ``batch``.  Dtypes/dims come from the stacked
+        tables' metadata only — multi-process-safe."""
+
+        S = self.num_shards
+        sharding = NamedSharding(self.mesh, P(self.axis))
+
+        def put(x):
+            return jax.device_put(x, sharding)
+
+        pending = {}
+        for pname, pspec in self.plan.physical.items():
+            n_global = 0
+            for lname, _ in pspec.members:
+                spec = self.model.table_specs[lname]
+                cols = [spec.feature or lname] + list(spec.shared_features)
+                for col in cols:
+                    shape = np.shape(batch["cat"][col])
+                    n_global += int(np.prod(shape)) if shape else 1
+            n_local = n_global // S
+            cap = sh.bucket_capacity(n_local, S, self.bucket_factor)
+            n_o = S * cap  # owner-side positions per shard
+            t = state.tables[pname]
+            key_np = np.dtype(t.keys.dtype.name)
+            val_np = np.dtype(t.values.dtype.name)
+            empty = int(np.iinfo(key_np).min)
+            def entry():  # distinct buffers per FIFO slot (state is donated)
+                lk = ev.Lookup(
+                    uids=put(np.full((S * n_o,), empty, key_np)),
+                    counts=put(np.zeros((S * n_o,), np.int32)),
+                    inverse=put(np.tile(
+                        np.arange(n_o, dtype=np.int32), S)),
+                    slot_ids=put(np.full((S * n_o,),
+                                 np.iinfo(np.int32).max, np.int32)),
+                    admitted=put(np.zeros((S * n_o,), bool)),
+                    valid=put(np.zeros((S * n_o,), bool)),
+                )
+                g = put(np.zeros((S * n_o, t.dim), val_np))
+                return lk, g
+
+            pending[pname] = tuple(entry() for _ in range(self.staleness))
+        return pending
+
+    def make_multi_step(self, k: int):
+        """Compile a fused K-step sharded trainer: ``fn(state, batches)``
+        runs K training steps in ONE dispatch via ``lax.scan`` over the
+        shard_map'ed step and returns ``(state, losses[K])``.  ``batches``
+        is a list of K batches (stacked internally).  Dispatch overhead is
+        the dominant fixed cost at recsys step times (156 us dispatched vs
+        19 us fused, benchmarks/dispatch_probe.py) and multi-chip steps pay
+        it per device dispatch — this is the distributed analogue of
+        Trainer.make_multi_step.  Bucket overflow self-healing still works:
+        per-chunk summed drop counters feed the same widen-and-rebuild path
+        (the returned fn re-jits itself when the factor changes)."""
+
+        cell = {}
+
+        def build():
+            def multi(state, stacked):
+                sspec = self.state_pspec(state)
+                bspec = jax.tree.map(lambda _: P(self.axis),
+                                     jax.tree.map(lambda x: x[0], stacked))
+                smap = jax.shard_map(
+                    lambda s, b: self._body(s, b, True),
+                    mesh=self.mesh, in_specs=(sspec, bspec),
+                    out_specs=(sspec, {"loss": P(), "n_dropped": P()}),
+                    check_vma=False)
+
+                def body(s, b):
+                    s, m = smap(s, b)
+                    return s, (m["loss"], m["n_dropped"])
+
+                state, (losses, drops) = lax.scan(body, state, stacked)
+                return state, losses, jnp.sum(drops)
+
+            cell["fn"] = jax.jit(multi, donate_argnums=(0,))
+            cell["factor"] = self.bucket_factor
+
+        build()
+
+        def run(state: TrainState, batches):
+            if cell["factor"] != self.bucket_factor:
+                build()
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+            stacked = jax.device_put(
+                stacked, jax.tree.map(
+                    lambda _: NamedSharding(self.mesh, P(None, self.axis)),
+                    stacked))
+            state = self._prime_pending(state, batches[0])
+            state, losses, drops = cell["fn"](state, stacked)
+            if self.widen_on_drop:
+                self._check_drops(drops)
+            return state, losses
+
+        return run
 
     def prepare_payloads(self, batch: Dict, erase: bool = True) -> Dict:
         """Cold-store lookups routed per owner shard: {pname: payload}.
@@ -406,6 +665,7 @@ class DistributedTrainer:
         self.total_dropped += drops
         self.bucket_factor *= 2.0
         self._train_step = None  # rebuild with wider buckets
+        self._pending_stale = True  # bucket sizes changed -> re-prime FIFO
         self.log_fn(
             f"[deeprec_tpu] sharded exchange overflowed: {drops} ids got "
             f"missing semantics; widening bucket_factor to "
@@ -416,8 +676,7 @@ class DistributedTrainer:
             # read-through: transient copy-promotion, cold stores unchanged
             state = self._promote_for_batch(state, batch, erase=False)
         batch = self._shard_batch(batch)
-        if self._train_step is None:
-            self._build_steps(state, batch)
+        self._ensure_steps(state, batch)
         return self._eval_step(state, batch)
 
     def _shard_batch(self, batch):
@@ -437,11 +696,18 @@ class DistributedTrainer:
                         changed = True
                     continue
                 cap = t.keys.shape[1]
-                max_size = int(np.max(jax.device_get(t.size)))
-                hint = int(np.max(jax.device_get(t.growth_hint)))
+                # reduce on device first: a sharded [S] array is not fully
+                # addressable from one process on a multi-host mesh
+                max_size = int(jax.device_get(jnp.max(t.size)))
+                hint = int(jax.device_get(jnp.max(t.growth_hint)))
                 if max_size > t.option.max_load_factor * cap or hint > 0:
                     tables[n] = grow_stacked(t, cap * 2)
                     changed = True
             if changed and stager is not None:
                 stager.resync_locked()
-        return state.replace(tables=tables) if changed else state
+        if not changed:
+            return state
+        # capacity changes relocate slots — drop the in-flight grad window
+        # (re-primed on the next step; bounded-staleness semantics allow it)
+        return state.replace(tables=tables,
+                             pending=None if self.staleness else state.pending)

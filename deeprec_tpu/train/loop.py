@@ -104,6 +104,74 @@ def host_group_keys(model: base.RecModel, plan, batch: Dict,
     return out
 
 
+def init_variant_params(model: base.RecModel, key):
+    """Dense parameter state for variant tables (multihash component
+    tables / adaptive static tables) — lives in params["_variants"] and
+    trains through ``dense_tx`` (the reference keeps these as regular
+    Variables: MultiHashVariable kv_variable_ops.py:986,
+    adaptive_embedding_lookup_sparse embedding_ops.py:667).  Shared by the
+    single-chip Trainer and the DistributedTrainer (variant params are
+    replicated on a mesh — multihash Q-R components and adaptive static
+    tables are dense, so data-parallel pmean is their natural sharding)."""
+
+    import zlib
+
+    out = {}
+    for name, spec in model.table_specs.items():
+        v = getattr(spec, "variant", None)
+        if v not in ("multihash", "adaptive"):
+            continue
+        k = jax.random.fold_in(key, zlib.crc32(name.encode()) & 0x7FFFFFFF)
+        if v == "multihash":
+            nparts = len(spec.multihash_buckets)
+            d = (spec.dim // nparts if spec.multihash_op == "concat"
+                 else spec.dim)
+            ks = jax.random.split(k, nparts)
+            out[name] = tuple(
+                jax.random.normal(kk, (b, d), jnp.float32) * 0.05
+                for kk, b in zip(ks, spec.multihash_buckets))
+        else:
+            out[name] = jax.random.normal(
+                k, (spec.adaptive_buckets, spec.dim), jnp.float32) * 0.05
+    return out
+
+
+def adaptive_migrate(spec, tbl, lk, flat_ids, static):
+    """Adaptive-embedding migration (the reference's ``ev_init_value``,
+    embedding_ops.py:667): the step an id's frequency crosses
+    ``adaptive_threshold`` its EV row is seeded from the static
+    hash-bucket row it trained while cold, so the learned representation
+    carries over instead of restarting from a fresh init.  Runs wherever
+    the table lives — single-chip, or owner-side inside shard_map."""
+
+    from deeprec_tpu.ops import hashing
+
+    th = spec.adaptive_threshold
+    cap = tbl.capacity
+    safe = jnp.where(lk.slot_ids < cap, lk.slot_ids, jnp.int32(cap))
+    f_after = tbl.freqs.at[safe].get(mode="fill", fill_value=0)
+    # per-slot total count contributed by THIS batch -> pre-batch freq
+    cbuf = jnp.zeros((cap + 1,), jnp.int32).at[safe].add(
+        jnp.where(lk.valid, lk.counts, 0), mode="drop")
+    f_before = f_after - cbuf[safe]
+    crossed = lk.valid & (lk.slot_ids < cap) \
+        & (f_after >= th) & (f_before < th)
+
+    emp = tbl.empty
+
+    def migrated_rows(comp):
+        cids = flat_ids.at[comp].get(mode="fill", fill_value=emp)
+        bkt = hashing.bucket(cids, static.shape[0], salt=3)
+        return jax.lax.stop_gradient(
+            static[bkt].astype(tbl.value_dtype))
+
+    # zero-cost when no id crosses the threshold this step (a lax.cond
+    # gate would copy the whole values array — see chunked_masked_row_set)
+    values = ev.chunked_masked_row_set(
+        tbl.values, crossed, lk.slot_ids, migrated_rows)
+    return tbl.replace(values=values)
+
+
 @dataclasses.dataclass
 class Trainer:
     """Builds and runs jitted train/eval steps for one RecModel."""
@@ -165,32 +233,7 @@ class Trainer:
         )
 
     def _init_variants(self, key):
-        """Dense parameter state for variant tables (multihash component
-        tables / adaptive static tables) — lives in params["_variants"] and
-        trains through ``dense_tx`` (the reference keeps these as regular
-        Variables: MultiHashVariable kv_variable_ops.py:986,
-        adaptive_embedding_lookup_sparse embedding_ops.py:667)."""
-
-        import zlib
-
-        out = {}
-        for name, spec in self.model.table_specs.items():
-            v = getattr(spec, "variant", None)
-            if v not in ("multihash", "adaptive"):
-                continue
-            k = jax.random.fold_in(key, zlib.crc32(name.encode()) & 0x7FFFFFFF)
-            if v == "multihash":
-                nparts = len(spec.multihash_buckets)
-                d = (spec.dim // nparts if spec.multihash_op == "concat"
-                     else spec.dim)
-                ks = jax.random.split(k, nparts)
-                out[name] = tuple(
-                    jax.random.normal(kk, (b, d), jnp.float32) * 0.05
-                    for kk, b in zip(ks, spec.multihash_buckets))
-            else:
-                out[name] = jax.random.normal(
-                    k, (spec.adaptive_buckets, spec.dim), jnp.float32) * 0.05
-        return out
+        return init_variant_params(self.model, key)
 
     # -- grouped lookup plumbing -------------------------------------------
 
@@ -237,39 +280,8 @@ class Trainer:
         return new_tables, lks, gathered, handles
 
     def _adaptive_migrate(self, spec, tbl, lk, flat_ids, params, lname):
-        """Adaptive-embedding migration (the reference's ``ev_init_value``,
-        embedding_ops.py:667): the step an id's frequency crosses
-        ``adaptive_threshold`` its EV row is seeded from the static
-        hash-bucket row it trained while cold, so the learned representation
-        carries over instead of restarting from a fresh init."""
-
-        from deeprec_tpu.ops import hashing
-
-        th = spec.adaptive_threshold
-        cap = tbl.capacity
-        safe = jnp.where(lk.slot_ids < cap, lk.slot_ids, jnp.int32(cap))
-        f_after = tbl.freqs.at[safe].get(mode="fill", fill_value=0)
-        # per-slot total count contributed by THIS batch -> pre-batch freq
-        cbuf = jnp.zeros((cap + 1,), jnp.int32).at[safe].add(
-            jnp.where(lk.valid, lk.counts, 0), mode="drop")
-        f_before = f_after - cbuf[safe]
-        crossed = lk.valid & (lk.slot_ids < cap) \
-            & (f_after >= th) & (f_before < th)
-
-        static = params["_variants"][lname]
-        emp = tbl.empty
-
-        def migrated_rows(comp):
-            cids = flat_ids.at[comp].get(mode="fill", fill_value=emp)
-            bkt = hashing.bucket(cids, static.shape[0], salt=3)
-            return jax.lax.stop_gradient(
-                static[bkt].astype(tbl.value_dtype))
-
-        # zero-cost when no id crosses the threshold this step (a lax.cond
-        # gate would copy the whole values array — see chunked_masked_row_set)
-        values = ev.chunked_masked_row_set(
-            tbl.values, crossed, lk.slot_ids, migrated_rows)
-        return tbl.replace(values=values)
+        return adaptive_migrate(spec, tbl, lk, flat_ids,
+                                params["_variants"][lname])
 
     def _make_acts(self, gathered, lks, handles, features, tables,
                    params=None):

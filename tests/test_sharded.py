@@ -427,3 +427,154 @@ def test_sharded_staged_tiering_matches_inline():
     want = run(False)
     got = run(True)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# DistributedTrainer feature parity with Trainer (VERDICT r2 item 5):
+# staleness, micro_batch_num, fused multi-step dispatch, variant embeddings —
+# each validated against the single-chip Trainer on identical data (the
+# async-PS / MicroBatch / CUDA-graph-replay / variant capabilities on the
+# mesh: modelzoo/wide_and_deep/train.py:920-936, config.proto:324-328).
+
+
+def _parity_pair(model, steps, batches, **kwargs):
+    tables = base.make_tables(model)
+    lt = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05), **kwargs)
+    ls = lt.init_state(jax.random.PRNGKey(0))
+    local = []
+    for b in batches[:steps]:
+        ls, m = lt.train_step(ls, b)
+        local.append(float(m["loss"]))
+
+    dt = DistributedTrainer(model=model, mesh=mesh8(),
+                            sparse_optimizer=sparse.adagrad(lr=0.05),
+                            dense_tx=optax.adagrad(0.05),
+                            per_shard_capacity=2 ** 10, **kwargs)
+    ds = dt.init_state(jax.random.PRNGKey(0))
+    dist = []
+    for b in batches[:steps]:
+        ds, m = dt.train_step(ds, b)
+        dist.append(float(m["loss"]))
+    return local, dist, ls, ds
+
+
+_LAYOUT_DRIFT = 1e-2  # cross-layout f32 reduction-order drift: the plain
+# local-vs-sharded trajectory already differs ~0.3% over 8 steps (measured);
+# same-layout comparisons below use tight tolerances instead.
+
+
+def test_distributed_staleness_matches_local():
+    model = tiny_model(n_cols=2)
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=500, seed=5)
+    it = iter(gen)
+    batches = [next(it) for _ in range(8)]
+    local, dist, _, _ = _parity_pair(model, 8, batches, staleness=2)
+    np.testing.assert_allclose(dist, local, rtol=_LAYOUT_DRIFT)
+    # crisp semantics, drift-free: with staleness=k the first k applies are
+    # the primed no-op entries, so steps 0..k-1 must equal the no-apply
+    # trajectory of a fresh trainer whose sparse updates never run
+    dt = DistributedTrainer(model=model, mesh=mesh8(),
+                            sparse_optimizer=sparse.adagrad(lr=0.0),
+                            dense_tx=optax.adagrad(0.05),
+                            per_shard_capacity=2 ** 10, staleness=2)
+    ds = dt.init_state(jax.random.PRNGKey(0))
+    frozen = []
+    for b in batches[:2]:
+        ds, m = dt.train_step(ds, b)
+        frozen.append(float(m["loss"]))
+    np.testing.assert_allclose(frozen, dist[:2], rtol=1e-6)
+
+
+def test_distributed_micro_batch_matches_local():
+    model = tiny_model(n_cols=2)
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=500, seed=6)
+    it = iter(gen)
+    batches = [next(it) for _ in range(6)]
+    local, dist, _, _ = _parity_pair(model, 6, batches, micro_batch_num=2)
+    np.testing.assert_allclose(dist, local, rtol=_LAYOUT_DRIFT)
+
+
+def test_distributed_multi_step_matches_per_step():
+    """make_multi_step(K): one lax.scan dispatch == K per-step dispatches."""
+
+    model = tiny_model(n_cols=2)
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=500, seed=7)
+    it = iter(gen)
+    batches = [next(it) for _ in range(8)]
+
+    def make():
+        dt = DistributedTrainer(model=model, mesh=mesh8(),
+                                sparse_optimizer=sparse.adagrad(lr=0.05),
+                                dense_tx=optax.adagrad(0.05),
+                                per_shard_capacity=2 ** 10)
+        return dt, dt.init_state(jax.random.PRNGKey(0))
+
+    dt, s1 = make()
+    per_step = []
+    for b in batches:
+        s1, m = dt.train_step(s1, b)
+        per_step.append(float(m["loss"]))
+
+    dt2, s2 = make()
+    multi = dt2.make_multi_step(4)
+    s2, l1 = multi(s2, batches[:4])
+    s2, l2 = multi(s2, batches[4:])
+    fused = [float(x) for x in np.concatenate([np.asarray(l1),
+                                               np.asarray(l2)])]
+    np.testing.assert_allclose(fused, per_step, rtol=2e-4)
+    assert int(s2.step) == int(s1.step) == 8
+
+
+def test_distributed_staleness_with_multi_step():
+    """The delayed-grad FIFO rides the scan carry (pending in TrainState):
+    fused K-step dispatch reproduces per-step sharded staleness exactly
+    (same layout -> tight tolerance)."""
+
+    model = tiny_model(n_cols=2)
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=500, seed=8)
+    it = iter(gen)
+    batches = [next(it) for _ in range(8)]
+
+    def make():
+        dt = DistributedTrainer(model=model, mesh=mesh8(),
+                                sparse_optimizer=sparse.adagrad(lr=0.05),
+                                dense_tx=optax.adagrad(0.05),
+                                per_shard_capacity=2 ** 10, staleness=1)
+        return dt, dt.init_state(jax.random.PRNGKey(0))
+
+    dt1, s1 = make()
+    per_step = []
+    for b in batches:
+        s1, m = dt1.train_step(s1, b)
+        per_step.append(float(m["loss"]))
+
+    dt2, s2 = make()
+    multi = dt2.make_multi_step(4)
+    s2, l1 = multi(s2, batches[:4])
+    s2, l2 = multi(s2, batches[4:])
+    fused = [float(x) for x in np.concatenate([np.asarray(l1),
+                                               np.asarray(l2)])]
+    np.testing.assert_allclose(fused, per_step, rtol=2e-4)
+
+
+def test_distributed_variants_match_local():
+    """Multihash/dynamic-dim/adaptive variants on the sharded path: same
+    step-by-step losses as the single-chip Trainer (kv_variable_ops.py:986,
+    embedding_ops.py:903/667 over PS-partitioned EVs in the reference)."""
+
+    from tests.test_variants import _variant_model
+
+    model = _variant_model()
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=500, seed=9)
+    it = iter(gen)
+    batches = [next(it) for _ in range(8)]
+    local, dist, ls, ds = _parity_pair(model, 8, batches)
+    np.testing.assert_allclose(dist, local, rtol=_LAYOUT_DRIFT)
+    # variant params trained on the mesh too
+    assert int(jnp.sum(ds.tables["C3"].size)) > 0
+    assert int(jnp.sum(ds.tables["C4"].size)) > 0
+    np.testing.assert_allclose(
+        np.asarray(ds.params["_variants"]["C2"][0]),
+        np.asarray(ls.params["_variants"]["C2"][0]), atol=5e-4)

@@ -171,19 +171,27 @@ def test_variant_spec_validation():
         base.TableSpec(name="x", dim=8, variant="nope")
 
 
-def test_variants_rejected_on_distributed_trainer():
+def test_variants_supported_on_distributed_trainer():
+    """Round 3: variants run on the sharded path (see
+    tests/test_sharded.py::test_distributed_variants_match_local for the
+    parity matrix); only the untested dynamic_dim+staleness combination
+    stays guarded."""
+
     import optax
     from jax.sharding import Mesh
-    from deeprec_tpu.models import base
     from deeprec_tpu.optimizers import sparse
     from deeprec_tpu.parallel.trainer import DistributedTrainer
 
     model = _variant_model()
     mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    tr = DistributedTrainer(model=model, mesh=mesh,
+                            sparse_optimizer=sparse.adagrad(lr=0.05),
+                            dense_tx=optax.adagrad(0.05))
+    assert tr is not None
     with pytest.raises(NotImplementedError):
         DistributedTrainer(model=model, mesh=mesh,
                            sparse_optimizer=sparse.adagrad(lr=0.05),
-                           dense_tx=optax.adagrad(0.05))
+                           dense_tx=optax.adagrad(0.05), staleness=2)
 
 
 # ---------------------------------------------------------------------------
