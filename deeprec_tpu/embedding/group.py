@@ -71,24 +71,34 @@ def plan_groups(table_specs) -> GroupPlan:
             groups.setdefault(g, []).append(name)
 
     for g, names in groups.items():
-        dims = {table_specs[n].dim for n in names}
-        if len(dims) != 1:
-            raise ValueError(f"group {g!r} mixes dims {dims}")
-        id_bits = max(getattr(table_specs[n], "id_bits", 26) for n in names)
-        if len(names) << id_bits >= 2 ** 62:
-            raise ValueError(f"group {g!r}: id_bits too large for member count")
-        phys = f"__group_{g}"
-        # capacity for the union of all members' key spaces, rounded to pow2
-        total = sum(table_specs[n].initial_capacity for n in names)
-        cap = 1 << (total - 1).bit_length()
-        physical[phys] = PhysicalTableSpec(
-            name=phys, dim=dims.pop(),
-            members=tuple((n, i) for i, n in enumerate(names)),
-            id_bits=id_bits,
-            initial_capacity=cap,
-        )
-        for i, n in enumerate(names):
-            logical[n] = (phys, i)
+        # Mixed-dim groups partition into one physical table per distinct
+        # dim ("__group_<g>_d<dim>") — the reference's group ops batch
+        # lookups of arbitrary per-table dims into one launch
+        # (group_embedding_lookup_ops.py); here the compile-unit count is
+        # the number of DISTINCT dims (1-3 in practice), not the member
+        # count, and no row storage is wasted on padding.
+        by_dim: Dict[int, List[str]] = {}
+        for n in names:
+            by_dim.setdefault(table_specs[n].dim, []).append(n)
+        multi = len(by_dim) > 1
+        for dim, members in sorted(by_dim.items()):
+            id_bits = max(getattr(table_specs[n], "id_bits", 26)
+                          for n in members)
+            if len(members) << id_bits >= 2 ** 62:
+                raise ValueError(
+                    f"group {g!r}: id_bits too large for member count")
+            phys = f"__group_{g}_d{dim}" if multi else f"__group_{g}"
+            # capacity for the union of members' key spaces, rounded to pow2
+            total = sum(table_specs[n].initial_capacity for n in members)
+            cap = 1 << (total - 1).bit_length()
+            physical[phys] = PhysicalTableSpec(
+                name=phys, dim=dim,
+                members=tuple((n, i) for i, n in enumerate(members)),
+                id_bits=id_bits,
+                initial_capacity=cap,
+            )
+            for i, n in enumerate(members):
+                logical[n] = (phys, i)
     return GroupPlan(physical=physical, logical=logical)
 
 
