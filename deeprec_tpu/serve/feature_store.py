@@ -44,11 +44,18 @@ class RedisFeatureStore:
 
     def __init__(self, url: str = "redis://localhost:6379", prefix: str = "ev",
                  cluster: bool = False):
-        from deeprec_tpu.serve.resp import RespClient
+        # cluster=True speaks Redis Cluster: CLUSTER SLOTS discovery,
+        # CRC16 key-slot routing, MOVED/ASK redirects
+        # (feature_store_type="cluster_redis", redis_feature_store.h:85);
+        # the url may list several seed nodes (redis://h1:p1,h2:p2).
+        if cluster:
+            from deeprec_tpu.serve.resp import ClusterRespClient
 
-        # cluster_redis routing (MOVED redirects) is not implemented; a
-        # cluster behind a proxy endpoint works transparently.
-        self._r = RespClient.from_url(url)
+            self._r = ClusterRespClient.from_url(url)
+        else:
+            from deeprec_tpu.serve.resp import RespClient
+
+            self._r = RespClient.from_url(url)
         if not self._r.ping():
             raise ConnectionError(f"redis at {url} did not answer PING")
         self.prefix = prefix

@@ -63,3 +63,79 @@ class ModelManager:
     def shutdown(self):
         for p in self._models.values():
             p.shutdown()
+
+
+class ShardedServingGroup:
+    """Cross-instance embedding sharding: N Processor instances each hold
+    1/N of the embedding tables (logical-partition slices — the same
+    ``shard_of`` routing training uses), and every request's lookups are
+    routed to their owners before one instance runs the dense graph.
+
+    The reference shards big EVs across serving instances with
+    ``shard_embedding`` + ``embedding_names`` + ``shard_instance_count``
+    (serving/processor/framework/graph_optimizer.h:132-147, rewriting EV
+    ops into remote FeatureStore lookups); here the peer-lookup surface is
+    ``Processor.lookup_rows`` and the fetched rows are injected
+    transiently into the serving instance's tables (bit-identical scores
+    to an unsharded Processor — test_serving covers it).
+    """
+
+    def __init__(self, model_dir: str, num_instances: int, model=None,
+                 config: Optional[Dict] = None):
+        cfg = dict(config or {})
+        cfg["shard_embedding"] = True
+        cfg["shard_instance_count"] = num_instances
+        self.num_instances = num_instances
+        self.procs = [
+            Processor.from_saved(
+                model_dir, model=model,
+                config={**cfg, "shard_instance_index": i})
+            for i in range(num_instances)
+        ]
+        self._rr = 0
+
+    def predict(self, request) -> "np.ndarray":
+        import numpy as np
+
+        from deeprec_tpu.parallel.tiers import shard_of_np
+        from deeprec_tpu.train.loop import host_group_keys
+
+        proc = self.procs[self._rr % self.num_instances]
+        self._rr += 1
+        trainer = proc._trainer
+        # compose this request's physical keys exactly like the lookup will
+        any_t = next(iter(trainer.tables.values()))
+        empty = int(np.iinfo(np.dtype(any_t.key_dtype.name)).min)
+        gk = host_group_keys(proc.model, trainer.plan, request, empty)
+        remote = {}
+        my = int(proc.config["shard_instance_index"])
+        for pname, keys in gk.items():
+            uids = np.unique(keys[keys != empty])
+            if len(uids) == 0:
+                continue
+            owner = shard_of_np(
+                uids.astype(np.dtype(any_t.key_dtype.name)),
+                self.num_instances)
+            got_keys, got_rows = [], []
+            for s in range(self.num_instances):
+                if s == my:
+                    continue  # locally-owned ids resolve natively
+                need = uids[owner == s]
+                if len(need) == 0:
+                    continue
+                rows, found = self.procs[s].lookup_rows(pname, need)
+                got_keys.append(need[found])
+                got_rows.append(rows[found])
+            if got_keys:
+                remote[pname] = (np.concatenate(got_keys),
+                                 np.concatenate(got_rows))
+        return proc.predict(request, remote_rows=remote)
+
+    def get_serving_model_info(self):
+        return {"shard_instance_count": self.num_instances,
+                "instances": [p.get_serving_model_info()
+                              for p in self.procs]}
+
+    def shutdown(self):
+        for p in self.procs:
+            p.shutdown()

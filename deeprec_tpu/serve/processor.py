@@ -64,6 +64,15 @@ DEFAULT_CONFIG = {
     "cpusets": None,
     "omp_num_threads": None,
     "serialize_protocol": "json",
+    # Cross-instance embedding sharding (graph_optimizer.h:132-147 +
+    # model_config.cc shard_embedding/embedding_names/shard_instance_count):
+    # this instance holds only logical-partition slice
+    # [shard_instance_index] of [shard_instance_count] for the named tables
+    # (None = all); a ShardedServingGroup routes lookups between instances.
+    "shard_embedding": False,
+    "shard_instance_count": 1,
+    "shard_instance_index": 0,
+    "embedding_names": None,
 }
 
 
@@ -190,7 +199,16 @@ class Processor:
                 )
                 for name, t in template.tables.items()
             }
-        state = saver.restore_checkpoint(path, template, tiers=tiers)
+        table_shards = None
+        if self.config["shard_embedding"]:
+            i = int(self.config["shard_instance_index"])
+            n = int(self.config["shard_instance_count"])
+            names = (self.config["embedding_names"]
+                     or list(template.tables))
+            table_shards = {t: (i, n) for t in names}
+        self._table_shards = table_shards
+        state = saver.restore_checkpoint(path, template, tiers=tiers,
+                                         table_shards=table_shards)
         with self._state_lock:
             self._state = state
             self._tiers = tiers
@@ -221,8 +239,11 @@ class Processor:
             with self._state_lock:
                 tables = dict(self._state.tables)
                 for name, fname in meta["tables"].items():
+                    si, ns = (getattr(self, "_table_shards", None)
+                              or {}).get(name, (0, 1))
                     tables[name] = saver.apply_table_delta(
-                        tables[name], os.path.join(full, fname))
+                        tables[name], os.path.join(full, fname),
+                        shard_index=si, num_shards=ns)
                 self._state = self._state.replace(tables=tables)
                 self._applied_deltas.add(d)
             applied += 1
@@ -266,14 +287,42 @@ class Processor:
                              for t in self.model.tasks}
         return out
 
-    def predict(self, request: Dict) -> np.ndarray:
-        """Synchronous scoring: [N] probabilities of the primary task."""
+    def lookup_rows(self, table: str, keys: np.ndarray):
+        """(rows [N, D], found [N]) for composed physical-table keys this
+        instance holds — the peer-lookup surface of cross-instance sharded
+        serving (the FeatureStore-lookup rewrite, graph_optimizer.h:163)."""
+
+        from deeprec_tpu.embedding import table as ev
+
+        with self._state_lock:
+            t = self._state.tables[table]
+        ids = jnp.asarray(keys, t.key_dtype)
+        rows = np.asarray(ev.lookup(t, ids))
+        found = np.asarray(ev.contains(t, ids))
+        return rows, found
+
+    def predict(self, request: Dict,
+                remote_rows: Optional[Dict] = None) -> np.ndarray:
+        """Synchronous scoring: [N] probabilities of the primary task.
+
+        ``remote_rows`` ({physical table: (keys, rows)}) transiently upserts
+        rows fetched from peer shard instances before the forward pass —
+        the live tables are NOT modified (read-through, like tiered eval)."""
 
         n = len(request["dense"])
         b = self._bucket(n)
         batch = self._pad(request, b)
         with self._state_lock:
             state = self._state
+        if remote_rows:
+            tables = dict(state.tables)
+            for pname, (keys, rows) in remote_rows.items():
+                if len(keys) == 0:
+                    continue
+                tables[pname] = saver.upsert_table_rows(
+                    tables[pname], {"keys": np.asarray(keys),
+                                    "values": np.asarray(rows)})
+            state = state.replace(tables=tables)
         logits, _ = self._trainer.eval_step(state, batch)
         return np.asarray(jax.nn.sigmoid(
             jnp.asarray(logits, jnp.float32)))[:n]

@@ -137,6 +137,181 @@ def _as_bytes(x) -> bytes:
     return str(x).encode()
 
 
+# ---------------------------------------------------------------------------
+# Redis Cluster (the reference's cluster_redis feature_store_type,
+# serving/processor/storage/redis_feature_store.h:85 ClusterRedis*)
+
+
+NUM_SLOTS = 16384
+
+_CRC16_TAB = []
+
+
+def _crc16_tab():
+    if not _CRC16_TAB:
+        for i in range(256):
+            crc = i << 8
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x1021 if crc & 0x8000 else crc << 1) \
+                    & 0xFFFF
+            _CRC16_TAB.append(crc)
+    return _CRC16_TAB
+
+
+def crc16(data: bytes) -> int:
+    """CRC16-CCITT (XMODEM) — the Redis Cluster key-slot hash."""
+
+    tab = _crc16_tab()
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ tab[((crc >> 8) ^ b) & 0xFF]
+    return crc
+
+
+def key_slot(key) -> int:
+    """Redis Cluster slot of a key, honoring {hash tags}."""
+
+    k = _as_bytes(key)
+    i = k.find(b"{")
+    if i >= 0:
+        j = k.find(b"}", i + 1)
+        if j > i + 1:
+            k = k[i + 1:j]
+    return crc16(k) % NUM_SLOTS
+
+
+class ClusterRespClient:
+    """Slot-routed RESP client for a Redis Cluster.
+
+    Discovers the slot map with CLUSTER SLOTS from any seed node, routes
+    every key to its owner, groups multi-key batches per node, and follows
+    -MOVED redirects (refreshing the map) and -ASK redirects (one-shot
+    ASKING) — the client-side contract hiredis-cluster implements for the
+    reference's ClusterRedis feature store."""
+
+    def __init__(self, seeds: Sequence[Tuple[str, int]],
+                 timeout: float = 30.0):
+        self._timeout = timeout
+        self._conns = {}
+        self._slot_map: List[Optional[Tuple[str, int]]] = [None] * NUM_SLOTS
+        self._lock = threading.Lock()
+        last = None
+        for host, port in seeds:
+            try:
+                self._refresh_slots((host, port))
+                return
+            except (OSError, RedisError) as e:
+                last = e
+        raise ConnectionError(f"no cluster seed answered: {last}")
+
+    @classmethod
+    def from_url(cls, url: str, timeout: float = 30.0) -> "ClusterRespClient":
+        """redis://h1:p1[,h2:p2,...] — comma-separated seed list."""
+
+        u = urlparse(url)
+        netloc = u.netloc or url
+        seeds = []
+        for part in netloc.split(","):
+            host, _, port = part.partition(":")
+            seeds.append((host or "localhost", int(port or 6379)))
+        return cls(seeds, timeout)
+
+    def _conn(self, node: Tuple[str, int]) -> RespClient:
+        with self._lock:
+            c = self._conns.get(node)
+            if c is None:
+                c = RespClient(node[0], node[1], self._timeout)
+                self._conns[node] = c
+            return c
+
+    def _refresh_slots(self, seed: Tuple[str, int]) -> None:
+        ranges = self._conn(seed).execute("CLUSTER", "SLOTS")
+        for r in ranges:
+            lo, hi, master = int(r[0]), int(r[1]), r[2]
+            node = (bytes(master[0]).decode(), int(master[1]))
+            for s in range(lo, hi + 1):
+                self._slot_map[s] = node
+
+    def _node_of(self, key) -> Tuple[str, int]:
+        node = self._slot_map[key_slot(key)]
+        if node is None:
+            raise RedisError(f"no node covers slot of {key!r}")
+        return node
+
+    def execute(self, *args, key=None) -> object:
+        """Run one command routed by ``key`` (default: first key arg)."""
+
+        k = key if key is not None else args[1]
+        node = self._node_of(k)
+        for _ in range(4):
+            try:
+                return self._conn(node).execute(*args)
+            except RedisError as e:
+                msg = str(e)
+                if msg.startswith("MOVED "):
+                    _, _, addr = msg.split(" ", 2)
+                    host, _, port = addr.partition(":")
+                    node = (host, int(port))
+                    self._slot_map[key_slot(k)] = node
+                    continue
+                if msg.startswith("ASK "):
+                    _, _, addr = msg.split(" ", 2)
+                    host, _, port = addr.partition(":")
+                    c = self._conn((host, int(port)))
+                    c.execute("ASKING")
+                    return c.execute(*args)
+                raise
+        raise RedisError("MOVED redirect loop")
+
+    def ping(self) -> bool:
+        return all(self._conn(n).execute("PING") == b"PONG"
+                   for n in set(filter(None, self._slot_map)))
+
+    def set(self, key, value) -> None:
+        self.execute("SET", key, value)
+
+    def get(self, key) -> Optional[bytes]:
+        return self.execute("GET", key)
+
+    def mget(self, keys: Sequence) -> List[Optional[bytes]]:
+        """Per-node grouped MGETs, results in request order."""
+
+        if not keys:
+            return []
+        by_node: dict = {}
+        for i, k in enumerate(keys):
+            by_node.setdefault(self._node_of(k), []).append((i, k))
+        out: List[Optional[bytes]] = [None] * len(keys)
+        for node, items in by_node.items():
+            try:
+                vals = self._conn(node).execute(
+                    "MGET", *[k for _, k in items])
+                for (i, k), v in zip(items, vals):
+                    out[i] = v
+            except RedisError:
+                # mid-reshard: fall back to per-key routing w/ redirects
+                for i, k in items:
+                    out[i] = self.execute("GET", k)
+        return out
+
+    def mset(self, pairs: Sequence[Tuple]) -> None:
+        by_node: dict = {}
+        for k, v in pairs:
+            by_node.setdefault(self._node_of(k), []).append((k, v))
+        for node, items in by_node.items():
+            try:
+                self._conn(node).mset(items)
+            except RedisError:
+                for k, v in items:
+                    self.execute("SET", k, v)
+
+    def close(self) -> None:
+        with self._lock:
+            for c in self._conns.values():
+                c.close()
+            self._conns.clear()
+
+
 class MiniRedisServer:
     """In-process RESP server (PING/SET/GET/MGET/DEL/DBSIZE/FLUSHDB).
 
@@ -144,10 +319,18 @@ class MiniRedisServer:
     way. One thread per connection; a plain dict + lock store.
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 slot_range: Optional[Tuple[int, int]] = None,
+                 topology: Optional[list] = None):
+        """``slot_range``/``topology`` make this node part of a
+        MiniRedisCluster: keys outside [lo, hi] answer -MOVED, and CLUSTER
+        SLOTS reports the full topology ([(lo, hi, host, port), ...])."""
+
         self._srv = socket.create_server((host, port))
         self.host, self.port = self._srv.getsockname()[:2]
         self._data = {}
+        self._slot_range = slot_range
+        self._topology = topology
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._accept_loop, daemon=True)
@@ -194,8 +377,44 @@ class MiniRedisServer:
             except OSError:
                 pass
 
+    def _moved(self, key: bytes) -> Optional[bytes]:
+        """Cluster mode: -MOVED reply for keys this node does not own."""
+
+        if self._slot_range is None:
+            return None
+        s = key_slot(key)
+        lo, hi = self._slot_range
+        if lo <= s <= hi:
+            return None
+        for tlo, thi, host, port in self._topology:
+            if tlo <= s <= thi:
+                return b"-MOVED %d %s:%d\r\n" % (s, host.encode(), port)
+        return b"-CLUSTERDOWN no node for slot %d\r\n" % s
+
     def _dispatch(self, cmd: List[bytes]) -> bytes:
         verb = cmd[0].upper()
+        if verb in (b"SET", b"GET", b"DEL") and len(cmd) >= 2:
+            m = self._moved(cmd[1])
+            if m is not None:
+                return m
+        if verb == b"MGET":
+            for k in cmd[1:]:
+                m = self._moved(k)
+                if m is not None:
+                    return m
+        if verb == b"CLUSTER" and len(cmd) >= 2 \
+                and cmd[1].upper() == b"SLOTS":
+            if self._topology is None:
+                return b"-ERR This instance has cluster support disabled\r\n"
+            out = [b"*%d\r\n" % len(self._topology)]
+            for lo, hi, host, port in self._topology:
+                h = host.encode()
+                out.append(b"*3\r\n:%d\r\n:%d\r\n" % (lo, hi))
+                out.append(b"*3\r\n$%d\r\n%s\r\n:%d\r\n$2\r\nid\r\n"
+                           % (len(h), h, port))
+            return b"".join(out)
+        if verb == b"ASKING":
+            return b"+OK\r\n"
         with self._lock:
             if verb == b"PING":
                 return b"+PONG\r\n"
@@ -223,3 +442,36 @@ class MiniRedisServer:
                 self._data.clear()
                 return b"+OK\r\n"
         return b"-ERR unknown command\r\n"
+
+
+class MiniRedisCluster:
+    """N MiniRedisServers splitting the 16384 slots evenly — an in-process
+    stand-in for a real Redis Cluster (this image has no redis); the client
+    half (ClusterRespClient) is identical against either."""
+
+    def __init__(self, n_nodes: int = 3, host: str = "127.0.0.1"):
+        bounds = [NUM_SLOTS * i // n_nodes for i in range(n_nodes + 1)]
+        # two passes: ports are only known after bind
+        self.nodes = [MiniRedisServer(host) for _ in range(n_nodes)]
+        topology = [(bounds[i], bounds[i + 1] - 1, host, self.nodes[i].port)
+                    for i in range(n_nodes)]
+        for i, node in enumerate(self.nodes):
+            node._slot_range = (bounds[i], bounds[i + 1] - 1)
+            node._topology = topology
+
+    def start(self) -> "MiniRedisCluster":
+        for n in self.nodes:
+            n.start()
+        return self
+
+    def stop(self) -> None:
+        for n in self.nodes:
+            n.stop()
+
+    @property
+    def seeds(self):
+        return [(n.host, n.port) for n in self.nodes]
+
+    @property
+    def url(self) -> str:
+        return "redis://" + ",".join(f"{h}:{p}" for h, p in self.seeds)

@@ -625,7 +625,17 @@ def apply_table_delta(
 ) -> ev.EmbeddingTable:
     """Upsert delta rows into an existing table (KvResourceIncrImport)."""
 
-    data = _load_selected(path, shard_index, num_shards)
+    return upsert_table_rows(table,
+                             _load_selected(path, shard_index, num_shards))
+
+
+def upsert_table_rows(table: ev.EmbeddingTable,
+                      data: Dict[str, np.ndarray]) -> ev.EmbeddingTable:
+    """Upsert host rows ({'keys', 'values', optional 'freqs'/'versions'/
+    'slot_*'}) into an existing table — the in-memory core of
+    apply_table_delta, also used for serving-side remote-row injection
+    (cross-instance sharded serving, graph_optimizer.h:132-147)."""
+
     if len(data["keys"]) == 0:
         return table
     keys = jnp.asarray(data["keys"], table.key_dtype)
@@ -1014,7 +1024,7 @@ def _remap_cold_rows(name: str, info: Dict, rows: np.ndarray, tier):
 
 
 def restore_checkpoint(ckpt_path: str, state_template, *,
-                       num_shards: int = 1, tiers=None):
+                       num_shards: int = 1, tiers=None, table_shards=None):
     """Restore into a (possibly differently-sharded) state template.
 
     ``num_shards`` > 1 rebuilds each table's stacked [S, ...] layout by
@@ -1022,6 +1032,10 @@ def restore_checkpoint(ckpt_path: str, state_template, *,
     ``tiers`` rebuilds each table's cold store from the checkpoint's cold
     dump (tier-complete restore; pass the same mapping given to
     ``save_checkpoint``).
+    ``table_shards`` ({table name: (shard_index, num_shards)}) restores only
+    that slice of a table into a FLAT template — serving-side cross-instance
+    embedding sharding (graph_optimizer.h:132-147: each serving instance
+    holds 1/N of the big EVs and peers serve the rest).
     """
 
     with open(os.path.join(ckpt_path, "meta.json")) as f:
@@ -1057,7 +1071,9 @@ def restore_checkpoint(ckpt_path: str, state_template, *,
     for name, t in state_template.tables.items():
         fname = os.path.join(ckpt_path, meta["tables"][name])
         if t.keys.ndim == 1:
-            tables[name] = restore_table(fname, t, shard_index=0, num_shards=1)
+            si, ns = (table_shards or {}).get(name, (0, 1))
+            tables[name] = restore_table(fname, t, shard_index=si,
+                                         num_shards=ns)
         elif multiproc:
             tables[name] = _restore_table_multiprocess(fname, t)
         else:

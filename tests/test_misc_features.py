@@ -394,3 +394,53 @@ def test_elastic_service_http_endpoint():
             assert e.code == 400
     finally:
         svc.close()
+
+
+def test_cluster_redis_feature_store():
+    """ClusterRedis (redis_feature_store.h:85): CRC16 slot routing over a
+    3-node in-process cluster, MOVED redirect recovery, per-node MGET
+    grouping — the feature-store surface is identical to single-node."""
+    from deeprec_tpu.serve.feature_store import RedisFeatureStore
+    from deeprec_tpu.serve.resp import (ClusterRespClient, MiniRedisCluster,
+                                        key_slot)
+
+    cluster = MiniRedisCluster(n_nodes=3).start()
+    try:
+        fs = RedisFeatureStore(url=cluster.url, prefix="ev", cluster=True)
+        keys = np.arange(200, dtype=np.int64)
+        rows = np.random.default_rng(1).normal(size=(200, 8)).astype(np.float32)
+        fs.publish_table("user", keys, rows)
+        # keys actually spread over all 3 nodes
+        per_node = [len(n._data) for n in cluster.nodes]
+        assert all(c > 0 for c in per_node), per_node
+        probe = np.array([3, 999, 77, 150, 42], np.int64)
+        got, found = fs.lookup("user", probe, dim=8)
+        assert found.tolist() == [True, False, True, True, True]
+        np.testing.assert_array_equal(got[0], rows[3])
+        np.testing.assert_array_equal(got[3], rows[150])
+        fs.close()
+
+        # MOVED redirect: a client with a deliberately stale slot map
+        c = ClusterRespClient(cluster.seeds)
+        k = "ev:user:3"
+        wrong = [n for i, n in enumerate(cluster.nodes)
+                 if (n._slot_range[0] <= key_slot(k) <= n._slot_range[1])
+                 is False][0]
+        c._slot_map[key_slot(k)] = (wrong.host, wrong.port)
+        assert c.get(k) is not None  # follows -MOVED and self-corrects
+        assert c._slot_map[key_slot(k)] != (wrong.host, wrong.port)
+        c.close()
+    finally:
+        cluster.stop()
+
+
+def test_key_slot_reference_vectors():
+    """CRC16/keyslot agree with redis-cli published values."""
+    from deeprec_tpu.serve.resp import crc16, key_slot
+
+    # CRC16-CCITT (XMODEM) reference vector ("123456789" -> 0x31C3) is the
+    # one the Redis Cluster spec cites; hash tags route by the tag only.
+    assert crc16(b"123456789") == 0x31C3
+    assert key_slot("foo") == 12182          # redis-cli CLUSTER KEYSLOT foo
+    assert key_slot("{foo}bar") == 12182     # hash tag
+    assert key_slot("") == 0

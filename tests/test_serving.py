@@ -432,3 +432,81 @@ def test_kserve_v2_inference_protocol(tmp_path):
     finally:
         srv.stop()
         p.shutdown()
+
+
+def test_sharded_serving_group_bit_identical(tmp_path):
+    """Cross-instance embedding sharding (graph_optimizer.h:132-147): a
+    2-instance ShardedServingGroup scores bit-identically to one unsharded
+    Processor, each instance holding only ~half the table rows."""
+
+    from deeprec_tpu.serve.multi import ShardedServingGroup
+
+    model, tr, state, it = _train_and_save(tmp_path, steps=8)
+    cfgd = {"session_num": 1, "bucket_sizes": [128], "warmup": False,
+            "version_poll_secs": 60.0}
+
+    single = Processor(model, dict(cfgd))
+    single.initialize(str(tmp_path))
+    group = ShardedServingGroup(str(tmp_path), num_instances=2, model=model,
+                                config=dict(cfgd))
+
+    # each instance holds a strict subset of the rows
+    total = {n: int(t.size) for n, t in single._state.tables.items()}
+    for p in group.procs:
+        for n, t in p._state.tables.items():
+            assert 0 < int(t.size) < total[n]
+    for n in total:
+        assert sum(int(p._state.tables[n].size) for p in group.procs) \
+            == total[n]
+
+    for _ in range(3):  # rotate the fronting instance (round robin)
+        b = next(it)
+        req = {"dense": b["dense"][:64],
+               "cat": {k: v[:64] for k, v in b["cat"].items()}}
+        want = single.predict(req)
+        got = group.predict(req)
+        np.testing.assert_array_equal(got, want)
+    single.shutdown()
+    group.shutdown()
+
+
+def test_sharded_serving_delta_ingestion(tmp_path):
+    """Each shard instance applies only ITS slice of a delta dump."""
+
+    from deeprec_tpu.serve.multi import ShardedServingGroup
+
+    model, tr, state, it = _train_and_save(tmp_path, steps=6, incr=True)
+    cfgd = {"session_num": 1, "bucket_sizes": [128], "warmup": False,
+            "version_poll_secs": 60.0}
+    group = ShardedServingGroup(str(tmp_path), num_instances=2, model=model,
+                                config=dict(cfgd))
+    single = Processor(model, dict(cfgd))
+    single.initialize(str(tmp_path))
+
+    # train on, dump a delta, let both ingest it
+    for _ in range(4):
+        state, _ = tr.train_step(state, next(it))
+    import json
+
+    d = os.path.join(str(tmp_path), "incr_10")
+    os.makedirs(d)
+    meta = {"tables": {}}
+    tables = dict(state.tables)
+    for name, t in tables.items():
+        fname = f"delta_{name}.npz"
+        tables[name] = saver.save_table_delta(os.path.join(d, fname), t)
+        meta["tables"][name] = fname
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(d, "DONE"), "w") as f:
+        f.write("ok")
+
+    assert single._apply_new_deltas() == 1
+    for p in group.procs:
+        assert p._apply_new_deltas() == 1
+    b = next(it)
+    req = {"dense": b["dense"][:64],
+           "cat": {k: v[:64] for k, v in b["cat"].items()}}
+    np.testing.assert_array_equal(group.predict(req), single.predict(req))
+    single.shutdown()
+    group.shutdown()
