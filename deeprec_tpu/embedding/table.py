@@ -234,7 +234,13 @@ def with_slot(table: EmbeddingTable, slot_name: str, width: Optional[int] = None
 # it.  Chains are measured in BUCKETS, so the worst lane over a 200k-id
 # batch resolves in a handful of rounds instead of ~40 slot-granular ones
 # (measured: DIN's 209k-id lookup_phase fell 38.9 -> ~6 ms, PERF.md).
-BLOCK = 8
+# Round 3: BLOCK 8 -> 32 measured 3.2x faster at the 209k-id DIN
+# distribution (11.6 -> 3.65 ms interleaved) — wider rows are nearly free
+# (per-row issue cost) and chains collapse to ~1 bucket, so ONE unrolled
+# round suffices and the straggler while_loop almost never iterates.
+# BLOCK=64 was faster still in eval (1.8 ms) but regressed train-mode
+# lookup 4x (22 ms) — rejected, see PERF.md.
+BLOCK = 32
 
 
 def _probe_blocks(b0: jnp.ndarray, r: jnp.ndarray, num_blocks: int) -> jnp.ndarray:
@@ -246,10 +252,10 @@ def _probe_blocks(b0: jnp.ndarray, r: jnp.ndarray, num_blocks: int) -> jnp.ndarr
 
 
 # Straight-line lookup rounds before falling back to the while_loop.  At
-# load factor <= 0.75 almost every id resolves in its first bucket; the
-# unrolled rounds are pure fused gathers with no control-flow sync, so the
-# common case never pays a loop iteration.
-UNROLL_PROBE = 2
+# load factor <= 0.75 and BLOCK=32 almost every id resolves in its first
+# bucket; the unrolled round is a pure fused gather with no control-flow
+# sync, so the common case never pays a loop iteration.
+UNROLL_PROBE = 1
 
 
 def _find_or_insert(

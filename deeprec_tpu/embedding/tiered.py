@@ -36,6 +36,10 @@ from deeprec_tpu.embedding import table as ev
 PROMOTE_PAD = 2048
 
 
+def _EMPTY64(dtype) -> int:
+    return int(np.iinfo(dtype).min)
+
+
 class TieredTable:
     """Host-side coordinator for one physical table's cold tier."""
 
@@ -60,6 +64,28 @@ class TieredTable:
             raise ValueError(
                 "CacheStrategy.LRU needs the versions plane — set "
                 "record_version=True on the table option")
+        # background upsert lane (concurrent demotion, EvictionManager role)
+        import concurrent.futures as _cf
+        import threading as _th
+
+        self._bg = _cf.ThreadPoolExecutor(max_workers=1)
+        self._inflight = None          # (future, key set) of a running upsert
+        self._inflight_mu = _th.Lock()
+
+    # -- background-upsert barrier -------------------------------------------
+
+    def _join_inflight(self) -> None:
+        with self._inflight_mu:
+            inflight, self._inflight = self._inflight, None
+        if inflight is not None:
+            inflight[0].result()
+
+    def _inflight_hits(self, uids: np.ndarray) -> bool:
+        with self._inflight_mu:
+            if self._inflight is None:
+                return False
+            keyset = self._inflight[1]
+        return any(int(u) in keyset for u in uids)
 
     # -- promotion (prefetch thread) ---------------------------------------
 
@@ -75,7 +101,15 @@ class TieredTable:
 
         uids = np.unique(flat_ids)
         uids = uids[uids != empty]
-        if len(uids) == 0 or self.cold.size == 0:
+        if len(uids) == 0:
+            return None
+        # read barrier: if a background demotion upsert is still landing and
+        # this batch asks for one of its victims, wait for it — the victim is
+        # no longer hot, so the cold store MUST hold it before the lookup.
+        # (Victims are cold by construction, so this almost never fires.)
+        if self._inflight_hits(uids):
+            self._join_inflight()
+        if self.cold.size == 0:
             return None
         rows, freqs, found = self.cold.lookup(uids.astype(np.int64),
                                               erase=erase)
@@ -109,6 +143,7 @@ class TieredTable:
     def demote(self, table: ev.EmbeddingTable) -> ev.EmbeddingTable:
         """Flush the coldest rows down-tier; rebuild the hot table."""
 
+        self._join_inflight()
         k = max(1, int(table.capacity * self.evict_fraction))
         keys, rows, freqs, idx, mask = _demote_select(
             table, k, slot_names=self.slot_names,
@@ -162,26 +197,46 @@ class TieredTable:
 
     def finish_demote(self, table: ev.EmbeddingTable) -> ev.EmbeddingTable:
         """Phase B: commit untouched victims down-tier, rebuild the hot
-        table.  Must run between steps (the caller holds the tier lock)."""
+        table.  Must run between steps (the caller holds the tier lock).
+
+        Only DEVICE work happens here (commit-mask + evict + rebuild are
+        dispatched async); the host side — draining the victims' D2H copy
+        and inserting them into the cold KV — runs on the background lane,
+        fully overlapped with the next training steps (the reference's
+        EvictionManager thread pool, eviction_manager.h:39).  Exactness: the
+        victims are already gone from the hot table when the upsert runs,
+        so ``prepare`` takes a read barrier if a batch asks for an in-flight
+        victim; checkpoint/compact join the lane first."""
 
         keys, rows, freqs, idx = self._pending
         self._pending = None
         ok, mask = _demote_commit_mask(table, keys, freqs, idx)
-        keys_h = np.asarray(jax.device_get(keys))
-        rows_h = np.asarray(jax.device_get(rows))
-        freqs_h = np.asarray(jax.device_get(freqs))
-        ok_h = np.asarray(jax.device_get(ok))
-        if ok_h.any():
-            self.cold.upsert(keys_h[ok_h].astype(np.int64), rows_h[ok_h],
-                             freqs_h[ok_h].astype(np.uint32))
-        if not ok_h.any():
-            return table
+        # small sync: #committable victims ([] int32 — blocks on the commit
+        # compute, NOT on the big row transfer)
+        if int(jax.device_get(jnp.sum(ok))) == 0:
+            return table                 # all victims touched: stay hot
+        keys_h = np.asarray(jax.device_get(keys))  # [k] ints — small
+
+        def upsert():
+            rows_h = np.asarray(jax.device_get(rows))
+            freqs_h = np.asarray(jax.device_get(freqs))
+            ok_h = np.asarray(jax.device_get(ok))
+            if ok_h.any():
+                self.cold.upsert(keys_h[ok_h].astype(np.int64),
+                                 rows_h[ok_h],
+                                 freqs_h[ok_h].astype(np.uint32))
+
+        self._join_inflight()           # one lane: previous batch landed
+        keyset = {int(k) for k in keys_h if k != _EMPTY64(keys_h.dtype)}
+        with self._inflight_mu:
+            self._inflight = (self._bg.submit(upsert), keyset)
         table = ev._apply_evict(table, mask)
         return ev._rebuild(table, table.capacity)
 
     # -- checkpoint hooks ---------------------------------------------------
 
     def export_cold(self):
+        self._join_inflight()   # checkpoint completeness: all demotions landed
         return self.cold.export()
 
     def import_cold(self, keys: np.ndarray, rows: np.ndarray,
@@ -195,6 +250,7 @@ class TieredTable:
                              np.asarray(freqs, np.uint32))
 
     def compact(self) -> int:
+        self._join_inflight()
         return self.cold.compact()
 
 

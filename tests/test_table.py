@@ -75,11 +75,11 @@ def test_growth_preserves_content():
 
 
 def test_overflow_triggers_growth_hint():
-    t = ev.create("t", dim=2, capacity=16)
+    t = ev.create("t", dim=2, capacity=32)
     ids = jnp.arange(64, dtype=jnp.int32)
     t, lk = ev.lookup_phase(t, ids)
-    # table can hold at most 16; the rest must flag overflow, not corrupt
-    assert int(t.size) <= 16
+    # table can hold at most 32; the rest must flag overflow, not corrupt
+    assert int(t.size) <= 32
     assert int(t.growth_hint) > 0
     # trainer loop behavior: grow between steps, retry lookups next step
     for _ in range(5):

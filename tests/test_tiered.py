@@ -276,6 +276,10 @@ def test_two_phase_background_demotion():
 
     t2 = tier.finish_demote(t)
     assert not tier.has_pending_demote
+    # round 3: the cold-store upsert runs on the background lane — join
+    # before inspecting the store directly (prepare() does this implicitly
+    # via its read barrier)
+    tier._join_inflight()
     n_cold = tier.cold.size
     assert n_cold > 0
     assert int(t2.size) == 100 - n_cold
@@ -321,3 +325,40 @@ def test_two_phase_demotion_in_trainer_loop():
                                                 num_ids_per_col=3000,
                                                 seed=9)), 4)
     assert np.isfinite(m["loss"]) and m["auc"] > 0.55, m
+
+
+def test_concurrent_demotion_read_barrier():
+    """finish_demote returns before the cold-store upsert lands (the
+    EvictionManager-thread overlap, eviction_manager.h:39); a prepare()
+    that asks for an in-flight victim blocks on the read barrier and still
+    gets the row — no window where a victim is neither hot nor cold."""
+
+    import threading
+    import time as _time
+
+    t = ev.create("t", dim=4, capacity=256,
+                  option=cfg.EmbeddingVariableOption())
+    o = sparse.adagrad(lr=0.1)
+    t = o.init(t)
+    ids = jnp.arange(100, dtype=jnp.int32)
+    t, lk = ev.lookup_phase(t, ids, step=1)
+    t = o.apply(t, lk, jnp.ones((lk.uids.shape[0], 4)), step=1)
+    before = np.asarray(ev.lookup(t, ids)).copy()
+
+    tier = TieredTable(t, evict_fraction=0.5)
+    # stall the background lane so the upsert provably hasn't landed when
+    # prepare() runs; release it shortly after from a timer thread
+    gate = threading.Event()
+    tier._bg.submit(gate.wait)
+    tier.begin_demote(t)
+    t2 = tier.finish_demote(t)
+    with tier._inflight_mu:
+        assert tier._inflight is not None
+    assert tier.cold.size == 0          # upsert genuinely pending
+    threading.Timer(0.2, gate.set).start()
+    t0 = _time.time()
+    payload = tier.prepare(np.asarray(ids), t2.empty)
+    assert _time.time() - t0 >= 0.15    # the barrier actually waited
+    assert payload is not None
+    t3 = tier.promote(t2, payload)
+    np.testing.assert_array_equal(np.asarray(ev.lookup(t3, ids)), before)
