@@ -307,6 +307,86 @@ def save_table(path: str, table: ev.EmbeddingTable, *, shrink_step=None,
     return files
 
 
+def _stream_name(path: str, c: int, nc: int) -> str:
+    base = path[:-4] if path.endswith(".npz") else path
+    return f"{base}.stream-{c:05d}-of-{nc:05d}.npz"
+
+
+def save_table_streaming(path: str, table: ev.EmbeddingTable, *,
+                         shrink_step=None,
+                         chunk_rows: int = 262_144) -> List[str]:
+    """Dump a table as a sequence of bounded chunk files — host RSS never
+    exceeds ~one chunk, so TB-scale tables stream through a small buffer
+    (the role of the reference's iterative BundleWriter dumps,
+    embedding_var_dump_iterator.h).  Each chunk carries its rows' logical
+    partition ids, so restore-onto-any-shard-count selects per chunk with
+    no global sort; the loader is format-transparent with the monolithic
+    and bundle layouts."""
+
+    if shrink_step is not None:
+        table = ev.shrink(table, shrink_step)
+    cap = table.capacity
+    # power-of-two chunk always divides the pow2 capacity: no ragged tail
+    chunk_rows = min(1 << (max(chunk_rows, 1).bit_length() - 1), cap)
+    nc = cap // chunk_rows
+    files = []
+
+    @jax.jit
+    def chunk_live(lo):
+        # compact this capacity slice's live rows to the front (device side
+        # — dead rows never cross the host boundary)
+        k = jax.lax.dynamic_slice_in_dim(table.keys, lo, chunk_rows)
+        lv = k != table.empty
+        order = jnp.argsort(~lv, stable=True)
+        n = jnp.sum(lv.astype(jnp.int32))
+        rows = {"keys": k[order]}
+        idx = (jax.lax.dynamic_slice_in_dim(
+            jnp.arange(cap, dtype=jnp.int32), lo, chunk_rows))[order]
+        rows["values"] = table.values[idx]
+        if table.freqs is not None:
+            rows["freqs"] = table.freqs[idx]
+        if table.versions is not None:
+            rows["versions"] = table.versions[idx]
+        for sname, sval in table.slots.items():
+            rows[f"slot_{sname}"] = sval[idx]
+        part = hashing.logical_partition(rows["keys"])
+        return rows, part, n
+
+    for c in range(nc):
+        rows, part, n = chunk_live(jnp.int32(c * chunk_rows))
+        n = int(jax.device_get(n))
+        host = {k: np.asarray(jax.device_get(v))[:n]
+                for k, v in rows.items()}
+        host["part"] = np.asarray(jax.device_get(part))[:n].astype(np.int16)
+        extra = {}
+        if c == 0 and table.cbf is not None:
+            extra["cbf"] = np.asarray(jax.device_get(table.cbf))
+        fname = _stream_name(path, c, nc)
+        np.savez(fname, **host, **extra)
+        files.append(fname)
+        del host, rows
+    return files
+
+
+def _load_selected_stream(files: List[str], shard_index: int,
+                          num_shards: int) -> Dict[str, np.ndarray]:
+    """Owned rows from a streaming chunk set (unsorted; per-row partition
+    column routes them — restore never needs the global sort)."""
+
+    skip = ("part", "cbf")
+    parts, cbf = [], None
+    for f in files:
+        data = np.load(f)
+        sel = (data["part"].astype(np.int64) % num_shards) == shard_index
+        parts.append({k: data[k][sel] for k in data.files if k not in skip})
+        if "cbf" in data.files:
+            cbf = data["cbf"]
+    out = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    if cbf is not None:
+        out["cbf"] = cbf
+    return out
+
+
 def _select_from_npz(data, lo: int, hi: int, shard_index: int,
                      num_shards: int) -> Dict[str, np.ndarray]:
     """Rows of partitions p in [lo, hi) with p % num_shards == shard_index
@@ -339,6 +419,9 @@ def _load_selected(path: str, shard_index: int,
         mfiles = sorted(_glob.glob(f"{base}.mshard-?????-of-?????.npz"))
         if mfiles:
             return _load_selected_mshards(mfiles, shard_index, num_shards)
+        sfiles = sorted(_glob.glob(f"{base}.stream-?????-of-?????.npz"))
+        if sfiles:
+            return _load_selected_stream(sfiles, shard_index, num_shards)
         raise FileNotFoundError(f"no table dump at {path} (or bundles)")
 
     def load_one(f):
@@ -732,6 +815,7 @@ def load_model_meta(ckpt_path: str) -> Optional[Dict]:
 def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
                     shrink: bool = False, tiers=None,
                     num_bundles: int = 1, model_name: Optional[str] = None,
+                    streaming_chunk_rows: Optional[int] = None,
                     _cold_data=None) -> str:
     """Full checkpoint of a TrainState (local or distributed).
 
@@ -766,9 +850,17 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
     try:
         for name, t in state.tables.items():
             fname = f"table_{name}.npz"
-            save_table(os.path.join(d, fname), t,
-                       shrink_step=state.step if shrink else None,
-                       num_bundles=num_bundles, executor=ex)
+            if streaming_chunk_rows and t.keys.ndim == 1:
+                # bounded-RSS streaming writer (TB-scale tables): host
+                # memory never holds more than ~one chunk
+                save_table_streaming(
+                    os.path.join(d, fname), t,
+                    shrink_step=state.step if shrink else None,
+                    chunk_rows=streaming_chunk_rows)
+            else:
+                save_table(os.path.join(d, fname), t,
+                           shrink_step=state.step if shrink else None,
+                           num_bundles=num_bundles, executor=ex)
             meta["tables"][name] = fname
     finally:
         if ex is not None:
