@@ -1,0 +1,174 @@
+"""Criteo-Kaggle PROXY dataset — the closest reproducible stand-in for the
+reference's Criteo benchmark in a zero-egress environment.
+
+**The asterisk, stated plainly:** the reference's AUC anchors (WDL
+0.7734-0.7748, DLRM ≈0.7856 — modelzoo/wide_and_deep/README.md:196-216,
+modelzoo/dlrm/README.md:176-196) are measured on the real Criteo Kaggle
+Display-Advertising dataset, which cannot be downloaded here.  This module
+reproduces every statistic of that dataset a training system is sensitive
+to, from public documentation:
+
+  * schema: label + 13 integer + 26 categorical columns, TSV-exportable in
+    the exact train.txt layout the reference's data prep consumes;
+  * per-column categorical cardinalities: the published Kaggle table sizes
+    used by every public DLRM implementation (1460 ... 10,131,227);
+  * ~Zipf(1) id popularity per column (id = card^U is the standard bounded
+    log-uniform sampler) with heavy-tailed integer features and realistic
+    missing-value rates;
+  * CTR ≈ 25.6% (the Kaggle positive rate);
+  * a logistic ground truth over latent per-id effects whose Bayes-optimal
+    AUC is CALIBRATED to ≈0.80 — slightly above the reference's converged
+    model AUCs, like the real dataset's unknown Bayes ceiling.
+
+A model trained on the proxy converging into the high 0.7s demonstrates
+the same capability the reference's numbers demonstrate (converging a
+sparse CTR model on Criteo-shaped data); it is NOT a claim of AUC parity
+on the real files — PERF.md and BASELINE.md carry this caveat verbatim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from deeprec_tpu.data.synthetic import _latent_weight, _mix32_np
+from deeprec_tpu.models import base
+
+# Published Criteo-Kaggle per-column categorical cardinalities (the
+# embedding-table sizes of the public DLRM Kaggle config, C1..C26).
+KAGGLE_CARDINALITIES = (
+    1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145, 5683,
+    8351593, 3194, 27, 14992, 5461306, 10, 5652, 2173, 4, 7046547, 18, 15,
+    286181, 105, 142572,
+)
+
+# Fraction of rows where each field is missing (real Criteo has pervasive
+# missing values; dense ~ a third of fields, categorical varies by column).
+DENSE_MISSING = 0.25
+CAT_MISSING = 0.12
+
+CTR = 0.256
+
+
+@dataclasses.dataclass
+class CriteoKaggleProxy:
+    """Batches shaped exactly like CriteoTSV's: {'dense': [B,13] f32
+    (log-transformed, missing=0), 'cat': {C1..C26: [B] int32}, 'label'}."""
+
+    batch_size: int = 2048
+    # scale of the per-id latent effects; default calibrated so the
+    # ground-truth scorer's AUC ≈ 0.80 (bayes_auc test pins it)
+    signal_scale: float = 0.56
+    dense_scale: float = 0.30
+    seed: int = 0
+    steps: Optional[int] = None
+
+    def __post_init__(self):
+        # self-calibrating intercept: solve alpha so that
+        # E[sigmoid(logit + alpha)] == CTR on a fixed calibration sample
+        self._alpha = 0.0
+        rng = np.random.RandomState(987_654)
+        raw = np.concatenate([self._raw_logit(rng, 8192) for _ in range(4)])
+        lo, hi = -8.0, 8.0
+        for _ in range(50):
+            mid = (lo + hi) / 2
+            if (1.0 / (1.0 + np.exp(-(raw + mid)))).mean() > CTR:
+                hi = mid
+            else:
+                lo = mid
+        self._alpha = float((lo + hi) / 2)
+
+    def __iter__(self) -> Iterator[Dict]:
+        rng = np.random.RandomState(self.seed)
+        n = 0
+        while self.steps is None or n < self.steps:
+            yield self.sample(rng)
+            n += 1
+
+    def _ids(self, rng, ci: int, card: int, b: int) -> np.ndarray:
+        # bounded Zipf(~1): rank = floor(card^U) is log-uniform over
+        # [1, card] — the standard skew proxy; hash-mix so hot ids differ
+        # per column
+        u = rng.rand(b)
+        rank = np.floor(np.power(float(card), u)).astype(np.int64)
+        rank = np.clip(rank, 1, card) - 1
+        ids = (_mix32_np(rank.astype(np.uint32), 101 + ci)
+               % np.uint32(card)).astype(np.int32)
+        miss = rng.rand(b) < CAT_MISSING
+        return np.where(miss, np.int32(0), ids)  # missing -> bucket 0
+
+    def _raw_logit(self, rng: np.random.RandomState, b: int,
+                   out: Optional[Dict] = None) -> np.ndarray:
+        # heavy-tailed integer features: x = round(exp(N)); missing -> 0
+        raw = np.exp(rng.randn(b, 13) * 1.4 + 1.0)
+        miss_d = rng.rand(b, 13) < DENSE_MISSING
+        # per-field latent slope ties some dense fields to the label
+        slope = _latent_weight(np.arange(13), 4242, self.dense_scale)
+        logit = np.zeros((b,), np.float32)
+        logit += (np.log1p(raw).astype(np.float32) - 1.9) @ slope \
+            * np.float32(1.0 / np.sqrt(13))
+        cat = {}
+        for ci, col in enumerate(base.CATEGORICAL_COLUMNS):
+            card = KAGGLE_CARDINALITIES[ci]
+            ids = self._ids(rng, ci, card, b)
+            # every column carries signal scaled by log-cardinality (small
+            # tables are demographics-like strong signals, huge tables are
+            # long-tail weak ones — matches CTR-data folklore)
+            w = self.signal_scale * (1.5 / np.sqrt(np.log2(card) + 1))
+            logit += _latent_weight(ids.astype(np.int64) * 31 + ci, ci + 7,
+                                    w)
+            cat[col] = ids
+        if out is not None:
+            out["dense"] = np.log1p(np.where(miss_d, 0.0, raw)
+                                    ).astype(np.float32)
+            out["cat"] = cat
+        return logit
+
+    def sample(self, rng: np.random.RandomState) -> Dict:
+        out: Dict = {}
+        logit = self._raw_logit(rng, self.batch_size, out) \
+            + np.float32(self._alpha)
+        p = 1.0 / (1.0 + np.exp(-logit))
+        out["label"] = (rng.rand(self.batch_size) < p).astype(np.float32)
+        out["_true_logit"] = logit
+        return out
+
+    # -- TSV export (train.txt layout: label \t 13 ints \t 26 hex cats) -----
+
+    def write_tsv(self, path: str, rows: int) -> None:
+        """Emit the exact Kaggle train.txt format so the native parser +
+        input pipeline run on Criteo-shaped files end-to-end."""
+
+        rng = np.random.RandomState(self.seed)
+        with open(path, "w") as f:
+            done = 0
+            while done < rows:
+                b = self.sample(rng)
+                n = min(self.batch_size, rows - done)
+                ints = np.expm1(b["dense"][:n]).round().astype(np.int64)
+                for i in range(n):
+                    parts = [str(int(b["label"][i]))]
+                    for j in range(13):
+                        v = int(ints[i, j])
+                        parts.append("" if v <= 0 else str(v))
+                    for col in base.CATEGORICAL_COLUMNS:
+                        parts.append(format(int(b["cat"][col][i]) & 0xFFFFFFFF,
+                                            "08x"))
+                    f.write("\t".join(parts) + "\n")
+                done += n
+
+
+def bayes_auc(proxy: CriteoKaggleProxy, n_batches: int = 20) -> float:
+    """AUC of the ground-truth scorer — the proxy's Bayes ceiling."""
+
+    from deeprec_tpu.data.synthetic import auc_numpy
+
+    rng = np.random.RandomState(123)
+    scores, labels = [], []
+    for _ in range(n_batches):
+        b = proxy.sample(rng)
+        scores.append(b["_true_logit"])
+        labels.append(b["label"])
+    return auc_numpy(np.concatenate(scores), np.concatenate(labels))

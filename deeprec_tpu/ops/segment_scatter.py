@@ -249,6 +249,14 @@ def _stream_path(dst, rows, cap, OUTER, W_OUT, BIN, terms, interpret):
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nc, W_OUT, P_SUB * d), jnp.float32),
+        # In SMALL surrounding programs XLA's vmem-offload pass hoists this
+        # call's whole HBM stream operand into VMEM "stack" space and trips
+        # the default 16M scoped limit (observed on the 53k-id WDL-proxy
+        # step at 64/128/256 grid steps; the identical shape inside the
+        # larger DLRM program never staged).  Raising the kernel's declared
+        # budget makes either placement legal.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(starts, aug)
     out = packed.reshape(nc, W_OUT, P_SUB, d).transpose(0, 2, 1, 3).reshape(
@@ -335,10 +343,12 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
         W_OUT = 256
         OUTER = W_OUT * P_SUB
         # the slot-id column must fit inside the 128-lane augmented row;
-        # and below ~64 grid steps Mosaic stages the whole input stream in
-        # scoped VMEM (29.5M > 16M limit, observed on wdl's 16k-cap wide
-        # table) — small-cap tables keep the cheap XLA scatter instead.
-        if cap % OUTER or cap // OUTER < 64 or d_pad >= 128:
+        # and at small grid counts Mosaic stages the whole input stream in
+        # scoped VMEM (29.5M > 16M limit).  Observed cliff: staged (OOM) at
+        # 64 AND 128 grid steps with a 27.8 MB stream, not staged at 256
+        # (DLRM production shape, round 2d) — gate at 256.  Small-cap
+        # tables keep the XLA scatter.
+        if cap % OUTER or cap // OUTER < 256 or d_pad >= 128:
             return _xla_scatter(dst, rows, cap)
         if d_pad != d:
             rows = jnp.concatenate(

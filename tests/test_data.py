@@ -180,3 +180,48 @@ def test_parquet_reader(tmp_path):
     np.testing.assert_array_equal(
         b["cat"]["C1"], (cols["C1"][:256] & 0x7FFFFFFF).astype(np.int32))
     np.testing.assert_array_equal(b["label"], cols[base.LABEL_COLUMN][:256])
+
+
+def test_criteo_proxy_calibration():
+    """Criteo-Kaggle proxy pins: published cardinalities respected, CTR near
+    the Kaggle 25.6%, Bayes ceiling calibrated to ~0.80, TSV export reads
+    back through the real CriteoTSV parser path."""
+
+    from deeprec_tpu.data import criteo_proxy as cp
+    from deeprec_tpu.models import base as mbase
+
+    p = cp.CriteoKaggleProxy(batch_size=4096, seed=5)
+    rng = np.random.RandomState(0)
+    b = p.sample(rng)
+    assert b["dense"].shape == (4096, 13)
+    for ci, col in enumerate(mbase.CATEGORICAL_COLUMNS):
+        ids = b["cat"][col]
+        assert ids.min() >= 0
+        assert ids.max() < cp.KAGGLE_CARDINALITIES[ci]
+    ctr = np.mean([p.sample(rng)["label"].mean() for _ in range(8)])
+    assert 0.22 < ctr < 0.29, ctr
+    bayes = cp.bayes_auc(p, 6)
+    assert 0.77 < bayes < 0.84, bayes
+    # skew: the top-1% of C3 ids cover a large share of a batch
+    c3 = np.concatenate([p.sample(rng)["cat"]["C3"] for _ in range(4)])
+    _, counts = np.unique(c3, return_counts=True)
+    top = np.sort(counts)[::-1]
+    assert top[: max(1, len(top) // 100)].sum() > 0.10 * len(c3)
+
+
+def test_criteo_proxy_tsv_roundtrip(tmp_path):
+    from deeprec_tpu.data.criteo import CriteoTSV
+    from deeprec_tpu.data.criteo_proxy import CriteoKaggleProxy
+
+    p = CriteoKaggleProxy(batch_size=256, seed=3)
+    f = str(tmp_path / "train.txt")
+    p.write_tsv(f, 1000)
+    ds = CriteoTSV([f], batch_size=250)
+    batches = list(iter(ds))
+    n = sum(len(b["label"]) for b in batches)
+    assert n == 1000
+    b = batches[0]
+    assert b["dense"].shape == (250, 13)
+    assert set(b["cat"]) == set(
+        f"C{i}" for i in range(1, 27))
+    assert 0.1 < np.concatenate([x["label"] for x in batches]).mean() < 0.4
