@@ -120,6 +120,13 @@ class Lookup(struct.PyTreeNode):
     slot_ids: jnp.ndarray    # [N] int32 in [0, C), or C for no-slot
     admitted: jnp.ndarray    # [N] bool — trainable this step
     valid: jnp.ndarray       # [N] bool — non-padding
+    # [C] int32 per-slot occurrence count of THIS batch (train mode only).
+    # Computed once in the lookup phase and shared by the freq update, the
+    # sparse apply's touched mask / WithCounts context, and adaptive
+    # migration — folding what used to be 2-3 independent scalar scatters
+    # over all N positions into one (the scatter costs ~6 ns/lane on v5e;
+    # at DIN's 209k lanes each duplicate is ~1.3 ms/step).
+    slot_counts: Optional[jnp.ndarray] = None
 
 
 # ---------------------------------------------------------------------------
@@ -575,9 +582,13 @@ def _lookup_phase(
         size = size + n_inserted
         growth_hint = growth_hint + n_failed
 
+        # One scalar scatter builds the per-slot batch-count plane; every
+        # consumer (freq plane, sparse apply, adaptive migration) reuses it.
+        upd_slot = jnp.where(found, slot_ids, no_slot)
+        slot_counts = jnp.zeros((table.capacity,), jnp.int32).at[upd_slot].add(
+            jnp.where(found, counts, 0), mode="drop")
         if freqs is not None:
-            upd_slot = jnp.where(found, slot_ids, no_slot)
-            freqs = freqs.at[upd_slot].add(jnp.where(found, counts, 0), mode="drop")
+            freqs = freqs + slot_counts
 
     # Admission: counter filter gates trainability by accumulated frequency.
     admitted = found
@@ -595,6 +606,7 @@ def _lookup_phase(
     lk = Lookup(
         uids=uids, counts=counts, inverse=inverse,
         slot_ids=slot_ids, admitted=admitted, valid=valid,
+        slot_counts=slot_counts if train else None,
     )
     return new_table, lk
 

@@ -120,8 +120,19 @@ def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names,
     # schedules the standalone scalar scatter nearly for free.  Rows with
     # dst == capacity (masked positions) are dropped.
     g_dense = segment_scatter.scatter_add_rows(dst, grad, c)
-    cnt = jnp.zeros((c,), jnp.int32).at[dst].add(
-        jnp.where(ok, lk.counts, 0), mode="drop")
+    # Per-slot counts: reuse the plane the lookup phase already scattered
+    # when its mask provably equals ours — no counter filter means
+    # admitted == found, so ok == the lookup's found mask.  (A counter
+    # filter makes admitted a strict subset; re-scatter to keep the
+    # touched mask exact — an Adam-style rule with g=0 still decays state,
+    # so over-marking touched rows would corrupt non-admitted rows.)
+    cf = table.option.counter_filter
+    if (lk.slot_counts is not None and lk.slot_counts.shape[0] == c
+            and (cf is None or cf.filter_freq <= 0)):
+        cnt = lk.slot_counts
+    else:
+        cnt = jnp.zeros((c,), jnp.int32).at[dst].add(
+            jnp.where(ok, lk.counts, 0), mode="drop")
     touched_now = cnt > 0
 
     ctx = dict(hyper)

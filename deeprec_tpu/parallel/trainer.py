@@ -553,6 +553,11 @@ class DistributedTrainer:
                                  np.iinfo(np.int32).max, np.int32)),
                     admitted=put(np.zeros((S * n_o,), bool)),
                     valid=put(np.zeros((S * n_o,), bool)),
+                    # owner-side lookups carry a [C_local] count plane per
+                    # shard -> [S * C_local] here (FIFO pytree must match)
+                    slot_counts=put(np.zeros(
+                        (int(t.keys.shape[0]) * int(t.keys.shape[1]),),
+                        np.int32)),
                 )
                 g = put(np.zeros((S * n_o, t.dim), val_np))
                 return lk, g

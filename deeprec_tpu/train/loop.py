@@ -151,9 +151,15 @@ def adaptive_migrate(spec, tbl, lk, flat_ids, static):
     safe = jnp.where(lk.slot_ids < cap, lk.slot_ids, jnp.int32(cap))
     f_after = tbl.freqs.at[safe].get(mode="fill", fill_value=0)
     # per-slot total count contributed by THIS batch -> pre-batch freq
-    cbuf = jnp.zeros((cap + 1,), jnp.int32).at[safe].add(
-        jnp.where(lk.valid, lk.counts, 0), mode="drop")
-    f_before = f_after - cbuf[safe]
+    # (reuse the lookup phase's folded count plane when present — the
+    # masks coincide: valid & slot<cap == found)
+    if lk.slot_counts is not None and lk.slot_counts.shape[0] == cap:
+        this_batch = lk.slot_counts.at[safe].get(mode="fill", fill_value=0)
+    else:
+        cbuf = jnp.zeros((cap + 1,), jnp.int32).at[safe].add(
+            jnp.where(lk.valid, lk.counts, 0), mode="drop")
+        this_batch = cbuf[safe]
+    f_before = f_after - this_batch
     crossed = lk.valid & (lk.slot_ids < cap) \
         & (f_after >= th) & (f_before < th)
 
@@ -423,6 +429,9 @@ class Trainer:
                                       jnp.int32),
                     admitted=jnp.zeros((n,), bool),
                     valid=jnp.zeros((n,), bool),
+                    # real lookups carry the [C] count plane; the FIFO's
+                    # pytree structure must match across rotation
+                    slot_counts=jnp.zeros((t.capacity,), jnp.int32),
                 )
                 return lk, jnp.zeros((n, t.dim), t.value_dtype)
 
