@@ -69,15 +69,26 @@ class ShardedTiers:
                                  for s in self.slot_names)
         self.row_floats = self.dim + sum(self.slot_widths) + 1
         per_shard_cap = int(stacked.keys.shape[1])
-        self.cold: List[HostKV] = []
-        for i in range(self.num_shards):
+        # Multi-controller: each process owns host cold stores ONLY for the
+        # shards whose device it can address — the reference's analogue is
+        # each PS task owning the multi-tier storage of its own EV partition
+        # (hbm_dram_storage.h:37).  Single process -> every shard is local
+        # and the behavior below is byte-identical to round 3.
+        self._mp = jax.process_count() > 1
+        proc = jax.process_index()
+        axis_devices = self._axis_devices(mesh, axis)
+        self.local_shards = tuple(
+            s for s in range(self.num_shards)
+            if axis_devices[s].process_index == proc)
+        self.cold: Dict[int, HostKV] = {}
+        for i in self.local_shards:
             kv = HostKV(self.row_floats, capacity_hint=per_shard_cap)
             if ssd_dir is not None:
                 os.makedirs(ssd_dir, exist_ok=True)
                 kv.enable_ssd(os.path.join(ssd_dir, f"shard{i}.log"),
                               max_dram_rows if max_dram_rows >= 0
                               else per_shard_cap)
-            self.cold.append(kv)
+            self.cold[i] = kv
         self.hot_watermark = hot_watermark
         self.evict_fraction = evict_fraction
         self.strategy = stacked.option.storage.cache_strategy.value
@@ -87,21 +98,39 @@ class ShardedTiers:
         self._promote_len = None
         self._demote_fns: Dict[int, object] = {}  # capacity -> compiled pair
 
+    @staticmethod
+    def _axis_devices(mesh: Mesh, axis: str):
+        """The device that owns shard s of a P(axis)-sharded table (first
+        replica when the mesh has other axes)."""
+
+        ax = list(mesh.axis_names).index(axis)
+        dev = np.moveaxis(np.asarray(mesh.devices), ax, 0)
+        return [np.asarray(dev[s]).reshape(-1)[0] for s in range(dev.shape[0])]
+
     # -- promotion ----------------------------------------------------------
 
     def prepare(self, flat_ids: np.ndarray, empty: int,
                 erase: bool = True) -> Optional[Dict]:
-        """Route the batch's ids to their owner shards, look up each shard's
-        cold store, and build a stacked [S, P, ...] promotion payload."""
+        """Route the batch's ids to their owner shards, look up each LOCAL
+        shard's cold store, and build a stacked [S, P, ...] promotion payload
+        (non-local shard rows stay EMPTY — each process contributes only the
+        slices its devices will consume).
+
+        Multi-controller: ALWAYS returns a payload (possibly all-EMPTY) so
+        every process reaches ``promote`` — the skip/pad decisions there are
+        collective and must be taken with global knowledge, not per-process
+        early exits.  This keeps ``prepare`` collective-free, so the
+        TierStager may still run it from a background thread."""
 
         uids = np.unique(np.asarray(flat_ids))
         uids = uids[uids != empty]
-        if len(uids) == 0 or all(kv.size == 0 for kv in self.cold):
+        if not self._mp and (len(uids) == 0
+                             or all(kv.size == 0 for kv in self.cold.values())):
             return None
         owner = shard_of_np(uids.astype(self.key_np), self.num_shards)
-        per_keys, per_rows, per_freqs = [], [], []
+        per_keys, per_rows, per_freqs = {}, {}, {}
         n_max = 0
-        for s in range(self.num_shards):
+        for s in self.local_shards:
             mine = uids[owner == s]
             if len(mine) and self.cold[s].size:
                 rows, freqs, found = self.cold[s].lookup(
@@ -113,29 +142,44 @@ class ShardedTiers:
                 keys = uids[:0]
                 rows = np.zeros((0, self.row_floats), np.float32)
                 freqs = np.zeros((0,), np.uint32)
-            per_keys.append(keys)
-            per_rows.append(rows)
-            per_freqs.append(freqs)
+            per_keys[s] = keys
+            per_rows[s] = rows
+            per_freqs[s] = freqs
             n_max = max(n_max, len(keys))
-        if n_max == 0:
+        if n_max == 0 and not self._mp:
             return None
-        pad_to = -(-n_max // PROMOTE_PAD) * PROMOTE_PAD
+        pad_to = max(-(-n_max // PROMOTE_PAD) * PROMOTE_PAD, PROMOTE_PAD)
         S = self.num_shards
         keys = np.full((S, pad_to), empty, uids.dtype)
         rows = np.zeros((S, pad_to, self.row_floats), np.float32)
         freqs = np.zeros((S, pad_to), np.int32)
-        for s in range(S):
+        for s in self.local_shards:
             k = len(per_keys[s])
             keys[s, :k] = per_keys[s]
             rows[s, :k] = per_rows[s]
             freqs[s, :k] = per_freqs[s].astype(np.int64)
-        return {"keys": keys, "rows": rows, "freqs": freqs}
+        return {"keys": keys, "rows": rows, "freqs": freqs,
+                "n_max": n_max}
 
     def promote(self, stacked: ev.EmbeddingTable,
                 payload: Dict) -> ev.EmbeddingTable:
         from deeprec_tpu.parallel.trainer import (
             local_view, relift, table_pspec)
 
+        if self._mp:
+            # Collective point (main thread, same order on every process):
+            # agree on the payload width, skip the shard_map entirely when
+            # NO process promotes anything this step.
+            from jax.experimental import multihost_utils
+
+            n_all = multihost_utils.process_allgather(
+                np.int32(payload.get("n_max", payload["keys"].shape[1])))
+            n_glob = int(np.max(np.asarray(n_all)))
+            if n_glob == 0:
+                return stacked
+            pad_glob = -(-n_glob // PROMOTE_PAD) * PROMOTE_PAD
+            payload = _repad_payload(payload, pad_glob,
+                                     empty=int(stacked.empty))
         pad_to = payload["keys"].shape[1]
         if self._promote_fn is None or self._promote_len != pad_to:
             sspec = table_pspec(stacked, self.axis)
@@ -153,18 +197,32 @@ class ShardedTiers:
                 out_specs=sspec, check_vma=False))
             self._promote_len = pad_to
         sh = NamedSharding(self.mesh, P(self.axis))
+
+        def put(x, dtype=None):
+            x = np.asarray(x, dtype)
+            if not self._mp:
+                return jax.device_put(jnp.asarray(x), sh)
+            # only the addressable slices are read — non-local rows of this
+            # process's copy are EMPTY filler by construction
+            return jax.make_array_from_callback(
+                x.shape, NamedSharding(self.mesh, P(self.axis)),
+                lambda idx: x[idx])
+
         return self._promote_fn(
             stacked,
-            jax.device_put(jnp.asarray(payload["keys"], stacked.key_dtype), sh),
-            jax.device_put(jnp.asarray(payload["rows"]), sh),
-            jax.device_put(jnp.asarray(payload["freqs"]), sh))
+            put(payload["keys"], np.dtype(stacked.keys.dtype.name)),
+            put(payload["rows"]),
+            put(payload["freqs"]))
 
     # -- demotion -----------------------------------------------------------
 
     def needs_demote(self, stacked: ev.EmbeddingTable) -> bool:
         cap = stacked.keys.shape[1]
-        max_size = int(np.max(np.asarray(jax.device_get(stacked.size))))
-        hint = int(np.max(np.asarray(jax.device_get(stacked.growth_hint))))
+        # device-side max first: a sharded [S] array is not fully
+        # addressable from one process on a multi-host mesh, and the
+        # replicated scalar guarantees every process takes the same branch
+        max_size = int(jax.device_get(jnp.max(stacked.size)))
+        hint = int(jax.device_get(jnp.max(stacked.growth_hint)))
         return max_size > self.hot_watermark * cap or hint > 0
 
     def demote(self, stacked: ev.EmbeddingTable) -> ev.EmbeddingTable:
@@ -205,26 +263,35 @@ class ShardedTiers:
             self._demote_fns[cap] = fns
         select_fn, evict_fn = fns
         keys, rows, freqs, mask = select_fn(stacked)
-        keys_h = np.asarray(jax.device_get(keys))
-        rows_h = np.asarray(jax.device_get(rows))
-        freqs_h = np.asarray(jax.device_get(freqs))
+
+        def local_rows(arr):
+            # per-ADDRESSABLE-shard host copies (multi-host: device_get of
+            # the whole [S, ...] array would touch non-addressable shards)
+            return {int(s.index[0].start): np.asarray(s.data)[0]
+                    for s in arr.addressable_shards}
+
+        keys_h, rows_h, freqs_h = (local_rows(keys), local_rows(rows),
+                                   local_rows(freqs))
         empty = stacked.empty
-        for s in range(self.num_shards):
+        for s, kv in self.cold.items():
             valid = keys_h[s] != empty
             if valid.any():
-                self.cold[s].upsert(keys_h[s][valid].astype(np.int64),
-                                    rows_h[s][valid],
-                                    freqs_h[s][valid].astype(np.uint32))
+                kv.upsert(keys_h[s][valid].astype(np.int64),
+                          rows_h[s][valid],
+                          freqs_h[s][valid].astype(np.uint32))
         return evict_fn(stacked, mask)
 
     # -- checkpoint hooks (same surface as TieredTable) ---------------------
 
     def export_cold(self):
-        """Concatenated live cold rows across every shard (keys are disjoint
-        by routing)."""
+        """Concatenated live cold rows across every LOCAL shard (keys are
+        disjoint by routing; multi-controller checkpoints write one dump per
+        process and merge them key-wise on restore)."""
 
-        keys, rows, freqs = [], [], []
-        for kv in self.cold:
+        keys, rows, freqs = [np.zeros((0,), np.int64)], \
+            [np.zeros((0, self.row_floats), np.float32)], \
+            [np.zeros((0,), np.uint32)]
+        for kv in self.cold.values():
             k, r, f = kv.export()
             keys.append(k); rows.append(r); freqs.append(f)
         return (np.concatenate(keys), np.concatenate(rows),
@@ -232,22 +299,47 @@ class ShardedTiers:
 
     def import_cold(self, keys: np.ndarray, rows: np.ndarray,
                     freqs: np.ndarray) -> None:
-        """Re-route a cold dump onto this mesh's shards — works across a
-        reshard because routing is recomputed from the keys."""
+        """Re-route a cold dump onto this mesh's LOCAL shards — works across
+        a reshard (or a different process layout) because routing is
+        recomputed from the keys; non-local keys are another process's job
+        and are skipped here."""
 
         if not len(keys):
             return
         keys = np.asarray(keys, np.int64)
         owner = shard_of_np(keys.astype(self.key_np), self.num_shards)
-        for s in range(self.num_shards):
+        for s, kv in self.cold.items():
             m = owner == s
             if m.any():
-                self.cold[s].upsert(keys[m], np.asarray(rows, np.float32)[m],
-                                    np.asarray(freqs, np.uint32)[m])
+                kv.upsert(keys[m], np.asarray(rows, np.float32)[m],
+                          np.asarray(freqs, np.uint32)[m])
 
     def compact(self) -> int:
-        return sum(kv.compact() for kv in self.cold)
+        return sum(kv.compact() for kv in self.cold.values())
 
     @property
     def cold_size(self) -> int:
-        return sum(kv.size for kv in self.cold)
+        """Rows in THIS process's cold stores (the global total on a
+        multi-controller mesh is the sum over processes)."""
+
+        return sum(kv.size for kv in self.cold.values())
+
+
+def _repad_payload(payload: Dict, pad_to: int, *, empty: int) -> Dict:
+    """Grow/shrink a [S, P, ...] promotion payload to width ``pad_to``
+    (real rows are a prefix; filler is EMPTY-keyed and masked out by
+    ``_promote_body``)."""
+
+    keys, rows, freqs = payload["keys"], payload["rows"], payload["freqs"]
+    cur = keys.shape[1]
+    if cur == pad_to:
+        return payload
+    S = keys.shape[0]
+    if cur > pad_to:
+        return {"keys": keys[:, :pad_to], "rows": rows[:, :pad_to],
+                "freqs": freqs[:, :pad_to]}
+    nk = np.full((S, pad_to), empty, keys.dtype)
+    nr = np.zeros((S, pad_to, rows.shape[2]), rows.dtype)
+    nf = np.zeros((S, pad_to), freqs.dtype)
+    nk[:, :cur] = keys; nr[:, :cur] = rows; nf[:, :cur] = freqs
+    return {"keys": nk, "rows": nr, "freqs": nf}

@@ -629,6 +629,21 @@ class DistributedTrainer:
 
         any_tier = next(iter(self.tiers.values()))
         empty = int(jnp.iinfo(any_tier.key_np).min)
+        if jax.process_count() > 1:
+            # Every process must see the GLOBAL batch's ids: an id in any
+            # process's slice may route to a cold store owned by another
+            # process (promotion ownership follows shard_of, not the data
+            # slice).  The cat-id allgather is a few hundred KB over DCN per
+            # step — do it once here, host-side.
+            from jax.experimental import multihost_utils
+
+            batch = dict(batch)
+            batch["cat"] = {
+                col: (np.asarray(multihost_utils.process_allgather(
+                          v, tiled=True))
+                      if isinstance(v, jax.Array)
+                      and not v.is_fully_addressable else np.asarray(v))
+                for col, v in batch["cat"].items()}
         gk = host_group_keys(self.model, self.plan, batch, empty)
         out = {}
         for pname, tier in self.tiers.items():

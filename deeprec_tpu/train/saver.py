@@ -915,10 +915,6 @@ def _save_checkpoint_multiprocess(ckpt_dir: str, state, *, step: int,
     barrier.  Requires ``ckpt_dir`` on a filesystem all processes share
     (NFS/GCS — the same assumption the reference's sharded saver makes)."""
 
-    if tiers:
-        raise NotImplementedError(
-            "tier-complete multi-process checkpointing: dump each process's "
-            "cold stores with the host-KV export path (not yet wired)")
     from deeprec_tpu.parallel import multihost
 
     d = os.path.join(ckpt_dir, f"step_{step}")
@@ -935,6 +931,25 @@ def _save_checkpoint_multiprocess(ckpt_dir: str, state, *, step: int,
             _save_table_mshard(os.path.join(d, fname), local, s, num_saved,
                                shrink_step=state.step if shrink else None)
         meta["tables"][name] = fname
+    # Tier-complete: every process dumps the cold stores of the shards it
+    # owns (ShardedTiers holds local shards only) as one pshard file —
+    # the per-task sharded-bundle pattern again.  An empty dump is still
+    # written so the manifest is layout-independent; restore merges all
+    # pshards key-wise (import_cold re-routes, so a different process
+    # count or shard count on restore is fine).
+    nproc = jax.process_count()
+    for name, tier in (tiers or {}).items():
+        keys, rows, freqs = tier.export_cold()
+        fname = f"cold_{name}.pshard{jax.process_index()}.npz"
+        np.savez(os.path.join(d, fname), keys=keys, rows=rows, freqs=freqs)
+        layout = {
+            "files": [f"cold_{name}.pshard{p}.npz" for p in range(nproc)],
+            "row_floats": int(tier.row_floats),
+            "dim": int(tier.dim),
+            "slot_names": list(tier.slot_names),
+            "slot_widths": list(tier.slot_widths),
+        }
+        meta["cold"][name] = layout
     # All shards on disk before the commit point; all processes return only
     # after the marker exists (a restore on ANY process right after save()
     # must see the new checkpoint).
@@ -1051,6 +1066,20 @@ class AsyncCheckpointer:
              tiers=None, num_bundles: int = 1,
              model_name=None) -> cf.Future:
         self.wait()
+        if jax.process_count() > 1:
+            # A multi-controller save is a COLLECTIVE (mshard barrier +
+            # commit barrier); running it on a background thread could
+            # interleave its barriers with the main thread's training-step
+            # collectives and deadlock the cluster.  Run it synchronously
+            # and hand back a completed future (same surface).
+            f: cf.Future = cf.Future()
+            try:
+                f.set_result(save_checkpoint(
+                    ckpt_dir, state, step=step, shrink=shrink, tiers=tiers,
+                    num_bundles=num_bundles, model_name=model_name))
+            except BaseException as e:  # surface via the future, like submit
+                f.set_exception(e)
+            return f
         state = jax.tree.map(
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
         cold = {name: tier.export_cold()
@@ -1138,12 +1167,19 @@ def restore_checkpoint(ckpt_path: str, state_template, *,
                 f"checkpoint has a cold tier for table {name!r} but no "
                 "TieredTable was passed to restore it into — demoted rows "
                 "would be silently lost")
-        cold = np.load(os.path.join(ckpt_path, info["file"]))
         tier = tiers[name]
-        rows = cold["rows"]
-        if rows.shape[1] != tier.row_floats:
-            rows = _remap_cold_rows(name, info, rows, tier)
-        tier.import_cold(cold["keys"], rows, cold["freqs"])
+        # single-process saves record one "file"; multi-process saves record
+        # per-process pshard "files" — import each (keys are disjoint across
+        # dumps; import_cold re-routes onto THIS mesh's local shards)
+        for fname in info.get("files", [info.get("file")] if "file" in info
+                              else []):
+            cold = np.load(os.path.join(ckpt_path, fname))
+            if not len(cold["keys"]):
+                continue
+            rows = cold["rows"]
+            if rows.shape[1] != tier.row_floats:
+                rows = _remap_cold_rows(name, info, rows, tier)
+            tier.import_cold(cold["keys"], rows, cold["freqs"])
     multiproc = jax.process_count() > 1
     dense = dict(np.load(os.path.join(ckpt_path, "dense.npz")))
     restored_dense = _unflatten_params(

@@ -134,7 +134,7 @@ def main():
     print("WORKER_OK", pid, flush=True)
 
 
-def _build_trainer(mesh):
+def _build_trainer(mesh, tiered: bool = False):
     import jax.numpy as jnp
     import optax
 
@@ -160,11 +160,20 @@ def _build_trainer(mesh):
         model=model, mesh=mesh,
         sparse_optimizer=sparse.adagrad(lr=0.05),
         dense_tx=optax.adagrad(0.05),
-        per_shard_capacity=2 ** 10,
+        per_shard_capacity=64 if tiered else 2 ** 10,
     )
 
 
-def _run_steps(tr, mesh, state, pid, nprocs, *, seed, steps):
+def _attach_tiers(tr, state, mesh):
+    from deeprec_tpu.parallel.tiers import ShardedTiers
+
+    tr.tiers = {n: ShardedTiers(t, mesh, "data",
+                                hot_watermark=0.5, evict_fraction=0.5)
+                for n, t in state.tables.items()}
+    return tr
+
+
+def _run_steps(tr, mesh, state, pid, nprocs, *, seed, steps, grow=False):
     """Deterministic global batch stream (identical regardless of process
     layout); each process feeds its contiguous slice."""
     import jax
@@ -183,6 +192,8 @@ def _run_steps(tr, mesh, state, pid, nprocs, *, seed, steps):
         local = jax.tree.map(lambda v: np.asarray(v)[lo:hi], full)
         gbatch = multihost.global_batch(mesh, local)
         state, m = tr.train_step(state, gbatch)
+        if grow:
+            state = tr.maybe_grow(state)
         losses.append(float(m["loss"]))
     return state, losses
 
@@ -209,8 +220,11 @@ def ckpt_phase(pid, nprocs, coord_port, out_path, phase, ckpt_dir):
         coordinator_address=f"localhost:{coord_port}" if nprocs > 1 else None,
         num_processes=nprocs, process_id=pid)
     assert len(jax.devices()) == 4
-    tr = _build_trainer(mesh)
+    tiered = phase.startswith("tiered_")
+    tr = _build_trainer(mesh, tiered=tiered)
     state = tr.init_state(jax.random.PRNGKey(0))
+    if tiered:
+        tr = _attach_tiers(tr, state, mesh)
     result = {"pid": pid, "n_devices": len(jax.devices())}
 
     if phase == "save":
@@ -229,6 +243,31 @@ def ckpt_phase(pid, nprocs, coord_port, out_path, phase, ckpt_dir):
                            for n, t in state.tables.items()}
         state, losses = _run_steps(tr, mesh, state, pid, nprocs,
                                    seed=101, steps=4)
+        result["losses"] = losses
+        result["final_step"] = int(state.step)
+    elif phase == "tiered_save":
+        # TODO r3 correctness #5: tier-complete multi-controller save —
+        # tight 64-row hot shards force demotion into each process's LOCAL
+        # cold stores; each process dumps its own cold pshard.
+        state, losses = _run_steps(tr, mesh, state, pid, nprocs,
+                                   seed=1, steps=6, grow=True)
+        d = saver.save_checkpoint(ckpt_dir, state, tiers=tr.tiers)
+        result["losses"] = losses
+        result["ckpt"] = d
+        result["cold_local"] = {n: int(t.cold_size)
+                                for n, t in tr.tiers.items()}
+        result["sizes"] = {n: int(jnp.sum(t.size))
+                           for n, t in state.tables.items()}
+    elif phase == "tiered_resume":
+        path = saver.latest_checkpoint(ckpt_dir)
+        state = saver.restore_checkpoint(path, state, tiers=tr.tiers)
+        result["restored_step"] = int(state.step)
+        result["cold_local"] = {n: int(t.cold_size)
+                                for n, t in tr.tiers.items()}
+        # continue training: promotion pulls restored cold rows back through
+        # the collective promote path (allgathered pad, local KV lookups)
+        state, losses = _run_steps(tr, mesh, state, pid, nprocs,
+                                   seed=101, steps=4, grow=True)
         result["losses"] = losses
         result["final_step"] = int(state.step)
     else:

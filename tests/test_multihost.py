@@ -124,3 +124,36 @@ def test_multiprocess_checkpoint_save_kill_restore(tmp_path):
     assert r2[0]["losses"] == pytest.approx(r2[1]["losses"], rel=1e-6)
     # and the 1-process layout reproduces the 2-process continuation
     assert r1[0]["losses"] == pytest.approx(r2[0]["losses"], rel=1e-4)
+
+
+def test_multiprocess_tiered_checkpoint(tmp_path):
+    """TODO r3 correctness #5: multi-process + tiered storage.  64-row hot
+    shards force demotion during a 2-process run; each process dumps its
+    LOCAL cold shards as a pshard file; fresh clusters (2-proc and 1-proc)
+    restore the merged cold set, promote rows back through the collective
+    promotion path, and must produce identical continuations."""
+
+    ckpt = tmp_path / "ckpt"
+    save = _run_cluster(2, "tiered_save", ckpt, tmp_path, "tsave")
+    # demotion actually happened, into BOTH processes' local cold stores
+    # (routing spreads uniformly; with 4 tables x hundreds of demoted rows
+    # a one-sided split is impossible)
+    tot_saved = {n: save[0]["cold_local"][n] + save[1]["cold_local"][n]
+                 for n in save[0]["cold_local"]}
+    assert any(v > 0 for v in tot_saved.values())
+    assert any(v > 0 for v in save[0]["cold_local"].values())
+    assert any(v > 0 for v in save[1]["cold_local"].values())
+
+    r2 = _run_cluster(2, "tiered_resume", ckpt, tmp_path, "tr2")
+    r1 = _run_cluster(1, "tiered_resume", ckpt, tmp_path, "tr1")
+    # every cold row survived, re-routed onto each layout's local shards
+    tot_r2 = {n: r2[0]["cold_local"][n] + r2[1]["cold_local"][n]
+              for n in tot_saved}
+    assert tot_r2 == tot_saved
+    assert {n: r1[0]["cold_local"][n] for n in tot_saved} == tot_saved
+    for r in (r2[0], r2[1], r1[0]):
+        assert r["restored_step"] == 6 and r["final_step"] == 10
+    # the 2-process collective promote path reproduces the single-process
+    # continuation (same SPMD math, different cold-store ownership)
+    assert r2[0]["losses"] == pytest.approx(r2[1]["losses"], rel=1e-6)
+    assert r1[0]["losses"] == pytest.approx(r2[0]["losses"], rel=1e-4)
