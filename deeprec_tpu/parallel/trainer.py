@@ -169,11 +169,12 @@ class DistributedTrainer:
     def __post_init__(self):
         if self.staleness and self.micro_batch_num > 1:
             raise ValueError("staleness and micro_batch_num>1 are exclusive")
-        for n, s in self.model.table_specs.items():
-            if getattr(s, "variant", None) == "dynamic_dim" \
-                    and self.staleness:
-                raise NotImplementedError(
-                    f"table {n!r}: dynamic_dim + staleness untested together")
+        # dynamic_dim + staleness compose: the freq-dependent block mask is
+        # applied in the FORWARD, so a delayed grad carries its compute-time
+        # mask — exactly bounded-staleness semantics (masks only widen as
+        # freqs grow; a pre-crossing grad simply leaves the new blocks
+        # untouched).  Parity-tested in
+        # tests/test_sharded.py::test_distributed_variants_staleness.
         self.compute_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
         self.plan = grp.plan_groups(self.model.table_specs)
         self.num_shards = self.mesh.shape[self.axis]

@@ -578,3 +578,30 @@ def test_distributed_variants_match_local():
     np.testing.assert_allclose(
         np.asarray(ds.params["_variants"]["C2"][0]),
         np.asarray(ls.params["_variants"]["C2"][0]), atol=5e-4)
+
+
+def test_distributed_variants_staleness():
+    """dynamic_dim/adaptive/multihash + delayed gradients on the mesh (TODO
+    r3 correctness #6): the block mask rides the FORWARD, so a k-stale grad
+    applies with its compute-time mask — same trajectory as the single-chip
+    staleness Trainer; first-k steps equal the frozen-sparse trajectory."""
+
+    from tests.test_variants import _variant_model
+
+    model = _variant_model()
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=500, seed=11)
+    it = iter(gen)
+    batches = [next(it) for _ in range(8)]
+    local, dist, ls, ds = _parity_pair(model, 8, batches, staleness=2)
+    np.testing.assert_allclose(dist, local, rtol=_LAYOUT_DRIFT)
+    # crisp no-drift check: the first k=2 applies are primed no-ops
+    dt = DistributedTrainer(model=model, mesh=mesh8(),
+                            sparse_optimizer=sparse.adagrad(lr=0.0),
+                            dense_tx=optax.adagrad(0.05),
+                            per_shard_capacity=2 ** 10, staleness=2)
+    s = dt.init_state(jax.random.PRNGKey(0))
+    frozen = []
+    for b in batches[:2]:
+        s, m = dt.train_step(s, b)
+        frozen.append(float(m["loss"]))
+    np.testing.assert_allclose(frozen, dist[:2], rtol=1e-6)
