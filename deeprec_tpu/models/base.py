@@ -60,8 +60,43 @@ class TableSpec:
     dyn_dim_thresholds: Sequence[int] = ()
     adaptive_buckets: int = 0
     adaptive_threshold: int = 10
+    # Feature-column transforms (tf.feature_column parity,
+    # feature_column_v2.py: crossed_column / bucketized_column /
+    # weighted_categorical_column).  Derived ids are computed identically
+    # on device (jnp, inside the jitted step) and on host (np, for the
+    # tiered-storage prefetch) — see models/columns.py.
+    #   cross: >= 2 batch cat columns whose salted-hash combination feeds
+    #     this table; ids land in [0, cross_buckets).
+    #   numeric_feature + bucket_boundaries: bucketize column
+    #     batch["dense"][:, numeric_feature] by the sorted boundaries;
+    #     bucket index feeds this table (len(boundaries)+1 ids).
+    #   weight_feature: per-id combiner weights read from
+    #     batch["weights"][weight_feature] (sparse_weights semantics).
+    cross: Sequence[str] = ()
+    cross_buckets: int = 0
+    numeric_feature: Optional[int] = None
+    bucket_boundaries: Sequence[float] = ()
+    weight_feature: Optional[str] = None
+    # Multivalent (multi-hot) columns: [B, L] ids that COMBINE into one
+    # [B, D] activation (embedding_column over a multivalent categorical —
+    # EMPTY-padded, weights optional) instead of the default sequence
+    # treatment of 2-D ids ([B, L, D] + mask).
+    multivalent: bool = False
 
     def __post_init__(self):
+        if self.cross and self.bucket_boundaries:
+            raise ValueError(f"{self.name}: cross and bucket_boundaries are "
+                             "exclusive")
+        if self.cross and len(self.cross) < 2:
+            raise ValueError(f"{self.name}: cross needs >= 2 source columns")
+        if self.cross and self.cross_buckets <= 0:
+            raise ValueError(f"{self.name}: cross needs cross_buckets > 0")
+        if bool(self.bucket_boundaries) != (self.numeric_feature is not None):
+            raise ValueError(f"{self.name}: bucketized columns need BOTH "
+                             "numeric_feature and bucket_boundaries")
+        if self.bucket_boundaries and list(self.bucket_boundaries) != sorted(
+                self.bucket_boundaries):
+            raise ValueError(f"{self.name}: bucket_boundaries must be sorted")
         v = self.variant
         if v is None:
             return

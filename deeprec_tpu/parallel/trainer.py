@@ -352,7 +352,7 @@ class DistributedTrainer:
                                      static[bkt].astype(rows.dtype))
             rows = rows.astype(self.compute_dtype)
             ident = jnp.arange(rows.shape[0], dtype=jnp.int32)
-            if feat.ids.ndim >= 2:
+            if feat.ids.ndim >= 2 and not spec.multivalent:
                 acts[fname] = lkp.sequence_embedding(rows, ident, feat, empty)
             else:
                 acts[fname] = lkp.combine(rows, ident, feat, empty,
@@ -532,9 +532,12 @@ class DistributedTrainer:
         for pname, pspec in self.plan.physical.items():
             n_global = 0
             for lname, _ in pspec.members:
+                from deeprec_tpu.models import columns
+
                 spec = self.model.table_specs[lname]
-                cols = [spec.feature or lname] + list(spec.shared_features)
-                for col in cols:
+                shape = columns.feature_shape(spec, batch)
+                n_global += int(np.prod(shape)) if shape else 1
+                for col in spec.shared_features:
                     shape = np.shape(batch["cat"][col])
                     n_global += int(np.prod(shape)) if shape else 1
             n_local = n_global // S
@@ -638,13 +641,18 @@ class DistributedTrainer:
             # step — do it once here, host-side.
             from jax.experimental import multihost_utils
 
+            def full(v):
+                if isinstance(v, jax.Array) and not v.is_fully_addressable:
+                    return np.asarray(
+                        multihost_utils.process_allgather(v, tiled=True))
+                return np.asarray(v)
+
             batch = dict(batch)
-            batch["cat"] = {
-                col: (np.asarray(multihost_utils.process_allgather(
-                          v, tiled=True))
-                      if isinstance(v, jax.Array)
-                      and not v.is_fully_addressable else np.asarray(v))
-                for col, v in batch["cat"].items()}
+            batch["cat"] = {col: full(v) for col, v in batch["cat"].items()}
+            if any(getattr(s, "bucket_boundaries", ())
+                   for s in self.model.table_specs.values()) \
+                    and "dense" in batch:
+                batch["dense"] = full(batch["dense"])
         gk = host_group_keys(self.model, self.plan, batch, empty)
         out = {}
         for pname, tier in self.tiers.items():

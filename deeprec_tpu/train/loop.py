@@ -68,11 +68,19 @@ def model_loss(model: base.RecModel, logits, batch):
 
 
 def make_features(model: base.RecModel, batch: Dict) -> Dict[str, lkp.SparseFeature]:
-    """Logical feature name -> SparseFeature, including shared-table extras."""
+    """Logical feature name -> SparseFeature, including shared-table extras.
+
+    Feature-column transforms (crossed/bucketized/weighted — TableSpec
+    cross/bucket_boundaries/weight_feature) resolve here on the device
+    path; models/columns.py keeps the host prefetch twin bit-identical."""
+
+    from deeprec_tpu.models import columns
 
     feats = {}
     for name, spec in model.table_specs.items():
-        feats[name] = lkp.SparseFeature(ids=batch["cat"][spec.feature or name])
+        feats[name] = lkp.SparseFeature(
+            ids=columns.feature_ids(spec, None, batch, jnp),
+            weights=columns.feature_weights(spec, batch))
         for extra in spec.shared_features:
             feats[f"{name}:{extra}"] = lkp.SparseFeature(ids=batch["cat"][extra])
     return feats
@@ -91,9 +99,12 @@ def host_group_keys(model: base.RecModel, plan, batch: Dict,
         grouped = len(pspec.members) > 1
         for lname, fidx in pspec.members:
             spec = model.table_specs[lname]
-            cols = [spec.feature or lname] + list(spec.shared_features)
+            cols = [None] + list(spec.shared_features)
             for col in cols:
-                ids = np.asarray(batch["cat"][col]).reshape(-1)
+                from deeprec_tpu.models import columns
+
+                ids = np.asarray(
+                    columns.feature_ids(spec, col, batch, np)).reshape(-1)
                 if grouped:
                     mask = (1 << pspec.id_bits) - 1
                     composed = ((ids & mask)
@@ -343,7 +354,7 @@ class Trainer:
                     rows = jnp.where(hot[:, None], rows,
                                      static[bkt].astype(rows.dtype))
             rows = rows.astype(self.compute_dtype)
-            if feat.ids.ndim >= 2:
+            if feat.ids.ndim >= 2 and not spec.multivalent:
                 acts[fname] = lkp.sequence_embedding(rows, None, feat, empty)
             else:
                 acts[fname] = lkp.combine(rows, None, feat, empty,

@@ -173,9 +173,10 @@ def test_variant_spec_validation():
 
 def test_variants_supported_on_distributed_trainer():
     """Round 3: variants run on the sharded path (see
-    tests/test_sharded.py::test_distributed_variants_match_local for the
-    parity matrix); only the untested dynamic_dim+staleness combination
-    stays guarded."""
+    tests/test_sharded.py::test_distributed_variants_match_local and
+    test_distributed_variants_staleness for the parity matrix) — including
+    dynamic_dim + staleness (the forward-applied block mask makes delayed
+    grads plain bounded-staleness)."""
 
     import optax
     from jax.sharding import Mesh
@@ -188,10 +189,10 @@ def test_variants_supported_on_distributed_trainer():
                             sparse_optimizer=sparse.adagrad(lr=0.05),
                             dense_tx=optax.adagrad(0.05))
     assert tr is not None
-    with pytest.raises(NotImplementedError):
-        DistributedTrainer(model=model, mesh=mesh,
-                           sparse_optimizer=sparse.adagrad(lr=0.05),
-                           dense_tx=optax.adagrad(0.05), staleness=2)
+    tr2 = DistributedTrainer(model=model, mesh=mesh,
+                             sparse_optimizer=sparse.adagrad(lr=0.05),
+                             dense_tx=optax.adagrad(0.05), staleness=2)
+    assert tr2 is not None
 
 
 # ---------------------------------------------------------------------------
