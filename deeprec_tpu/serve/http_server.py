@@ -44,7 +44,11 @@ def _v2_metadata(proc) -> dict:
                "shape": [-1, proc.model.dense_dim]}]
     seen = set()
     for name, spec in proc.model.table_specs.items():
-        for col in [spec.feature or name] + list(spec.shared_features):
+        if getattr(spec, "bucket_boundaries", ()):
+            continue  # reads the dense tensor only
+        cols = (list(spec.cross) if getattr(spec, "cross", ())
+                else [spec.feature or name])
+        for col in cols + list(spec.shared_features):
             if col in seen:
                 continue
             seen.add(col)

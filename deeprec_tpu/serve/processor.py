@@ -333,9 +333,14 @@ class Processor:
                 "dense": np.zeros((b, self.model.dense_dim), np.float32),
                 "cat": {},
             }
-            # derive the column set from the specs
+            # derive the column set from the specs (crossed specs consume
+            # their component columns; bucketized specs read dense only)
             for name, spec in self.model.table_specs.items():
-                cols = [spec.feature or name] + list(spec.shared_features)
+                if getattr(spec, "bucket_boundaries", ()):
+                    continue
+                cols = (list(spec.cross) if getattr(spec, "cross", ())
+                        else [spec.feature or name])
+                cols += list(spec.shared_features)
                 for c in cols:
                     if spec.sequence or c.startswith("hist"):
                         fake["cat"][c] = np.zeros((b, spec.seq_len), np.int32)
