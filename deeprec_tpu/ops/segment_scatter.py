@@ -148,7 +148,7 @@ def _kernel_path(u_dst, u_rows, starts, cap, OUTER, W_OUT, BIN, terms,
 
 
 def _stream_kern(starts_ref, aug_hbm, out_ref, buf, sems,
-                 *, OUTER, W_OUT, P_SUB, BIN, D, DA, terms):
+                 *, OUTER, W_OUT, P_SUB, BIN, D, DA, terms, id_cols):
     """Stream kernel: per output chunk, DMA a DYNAMIC number of BIN-row
     windows of the (sorted, duplicates-included) position stream and place
     rows with a one-hot MXU matmul — duplicates sum natively, so no dedup
@@ -156,15 +156,21 @@ def _stream_kern(starts_ref, aug_hbm, out_ref, buf, sems,
     distribution (a hot id with 100k occurrences just means more windows
     for its chunk).  Double-buffered HBM->VMEM copies overlap the matmuls.
 
-    The destination slot rides as column D of the augmented rows array
-    (slot ids < 2^24 are exact in f32) so one aligned DMA moves both —
-    Mosaic cannot slice a [N, 1] int stream on the lane dimension.
-    Window starts are rounded down to the sublane tile (8); the overlapped
-    leading rows belong to earlier chunks and mask out via the range check.
+    The destination slot rides as trailing columns of the augmented rows
+    array so one aligned DMA moves both — Mosaic cannot slice a [N, 1]
+    int stream on the lane dimension.  f32 rows carry it as ONE column
+    (ids < 2^24 exact in f32, id_cols == 1); bf16 rows carry THREE 8-bit
+    chunk columns (ints <= 255 exact in bf16, id_cols == 3) and the
+    kernel reassembles hi*2^16 + mid*2^8 + lo — halving the permute/DMA
+    traffic for bf16 gradients while the MXU still accumulates f32
+    exactly.  Window starts are rounded down to the dtype's sublane tile
+    (f32: 8, bf16: 16); the overlapped leading rows belong to earlier
+    chunks and mask out via the range check.
     """
 
     c = pl.program_id(0)
-    lo = (starts_ref[c] // 8) * 8
+    sub = 8 if buf.dtype == jnp.float32 else 16
+    lo = (starts_ref[c] // sub) * sub
     hi = starts_ref[c + 1]
     nwin = pl.cdiv(hi - lo, BIN)
     base = c * OUTER
@@ -189,19 +195,29 @@ def _stream_kern(starts_ref, aug_hbm, out_ref, buf, sems,
             dma(w + 1, 1 - slot).start()
 
         aug = buf[slot]                                  # [BIN, DA]
-        local = aug[:, D:D + 1].astype(jnp.int32) - base  # [BIN, 1]
+        if id_cols == 1:
+            slot_id = aug[:, D:D + 1].astype(jnp.int32)   # [BIN, 1]
+        else:
+            chunks = [aug[:, D + k:D + k + 1].astype(jnp.int32)
+                      for k in range(id_cols)]
+            slot_id = chunks[0]
+            for ch in chunks[1:]:
+                slot_id = (slot_id << 8) | ch
+        local = slot_id - base                           # [BIN, 1]
         ok = (local >= 0) & (local < OUTER)
         j = jax.lax.shift_right_logical(local, W_OUT.bit_length() - 1)
         rr = jnp.where(ok, local & (W_OUT - 1), -1)
         oh = (rr == iota_rr).astype(jnp.bfloat16)        # [BIN, W_OUT]
         rows = aug[:, :D]                                # [BIN, D]
-        pieces = [jnp.where(j == jj, rows, 0.0) for jj in range(P_SUB)]
+        zero = jnp.zeros((), rows.dtype)
+        pieces = [jnp.where(j == jj, rows, zero) for jj in range(P_SUB)]
         rem = jnp.concatenate(pieces, axis=1)            # [BIN, P_SUB*D]
         for _ in range(terms):
             hi_part = rem.astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
                 oh, hi_part, dn, preferred_element_type=jnp.float32)
-            rem = rem - hi_part.astype(jnp.float32)
+            if terms > 1:
+                rem = rem - hi_part.astype(jnp.float32)
         return acc
 
     acc0 = jnp.zeros((W_OUT, P_SUB * D), jnp.float32)
@@ -210,10 +226,16 @@ def _stream_kern(starts_ref, aug_hbm, out_ref, buf, sems,
 
 
 def _stream_path(dst, rows, cap, OUTER, W_OUT, BIN, terms, interpret):
-    """Sort positions by dst, then run the stream kernel over chunks."""
+    """Sort positions by dst, then run the stream kernel over chunks.
+
+    bf16 rows take the half-traffic layout: the whole augmented array is
+    bf16, the slot id rides as three 8-bit chunk columns (exact in bf16),
+    and the one term IS the input — accumulation stays f32 in the MXU, so
+    the result equals upcasting the bf16 grads to f32 first."""
 
     n, d = rows.shape
     P_SUB = OUTER // W_OUT
+    bf16 = rows.dtype == jnp.bfloat16
     order = jnp.argsort(dst)
     sdst = dst[order]
     srows = rows[order]
@@ -225,18 +247,32 @@ def _stream_path(dst, rows, cap, OUTER, W_OUT, BIN, terms, interpret):
     srows = jnp.concatenate([srows, jnp.zeros((pad, d), srows.dtype)])
     # Mosaic lane-pads HBM buffers to 128 and requires DMA slices to cover
     # whole lane tiles, so the augmented array is exactly 128 wide:
-    # [rows | slot id | zero fill].
+    # [rows | slot id column(s) | zero fill].
     da = 128
-    aug = jnp.concatenate(
-        [srows, sdst[:, None].astype(jnp.float32),
-         jnp.zeros((srows.shape[0], da - d - 1), jnp.float32)], axis=1)
+    if bf16:
+        id_cols = 3
+        sid = sdst.astype(jnp.int32)
+        idc = [((sid >> 16) & 0xFF).astype(jnp.bfloat16)[:, None],
+               ((sid >> 8) & 0xFF).astype(jnp.bfloat16)[:, None],
+               (sid & 0xFF).astype(jnp.bfloat16)[:, None]]
+        aug = jnp.concatenate(
+            [srows] + idc
+            + [jnp.zeros((srows.shape[0], da - d - 3), jnp.bfloat16)],
+            axis=1)
+        terms = 1
+    else:
+        id_cols = 1
+        aug = jnp.concatenate(
+            [srows, sdst[:, None].astype(jnp.float32),
+             jnp.zeros((srows.shape[0], da - d - 1), jnp.float32)], axis=1)
     nc = cap // OUTER
     starts = jnp.searchsorted(
         sdst, (jnp.arange(nc + 1, dtype=jnp.int32) * OUTER).astype(
             sdst.dtype)).astype(jnp.int32)
     packed = pl.pallas_call(
         functools.partial(_stream_kern, OUTER=OUTER, W_OUT=W_OUT,
-                          P_SUB=P_SUB, BIN=BIN, D=d, DA=da, terms=terms),
+                          P_SUB=P_SUB, BIN=BIN, D=d, DA=da, terms=terms,
+                          id_cols=id_cols),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nc,),
@@ -244,7 +280,7 @@ def _stream_path(dst, rows, cap, OUTER, W_OUT, BIN, terms, interpret):
             out_specs=pl.BlockSpec((1, W_OUT, P_SUB * d),
                                    lambda c, starts: (c, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, BIN, da), jnp.float32),
+                pltpu.VMEM((2, BIN, da), rows.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -323,11 +359,17 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
     strategy = _force
     if strategy is None:
         on_tpu = jax.default_backend() == "tpu"
-        if (on_tpu and rows.dtype == jnp.float32 and d < 128
-                and n >= 32768):
+        if (on_tpu and rows.dtype in (jnp.float32, jnp.bfloat16)
+                and d < 128 and n >= 32768):
             strategy = "stream"
         else:
             strategy = "xla"
+    # Accumulation is ALWAYS f32-exact for bf16 inputs: the stream kernel
+    # accumulates bf16 operands in the MXU's f32 accumulator; every other
+    # strategy upcasts first.  (A raw bf16 .at[].add would round per
+    # partial sum — never do that.)
+    if rows.dtype == jnp.bfloat16 and strategy != "stream":
+        rows = rows.astype(jnp.float32)
     if strategy == "xla":
         return _xla_scatter(dst, rows, cap)
 
@@ -349,7 +391,8 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
         # (DLRM production shape, round 2d) — gate at 256.  Small-cap
         # tables keep the XLA scatter.
         if cap % OUTER or cap // OUTER < 256 or d_pad >= 128:
-            return _xla_scatter(dst, rows, cap)
+            return _xla_scatter(dst, rows.astype(jnp.float32)
+                                if rows.dtype == jnp.bfloat16 else rows, cap)
         if d_pad != d:
             rows = jnp.concatenate(
                 [rows, jnp.zeros((n, d_pad - d), rows.dtype)], axis=1)

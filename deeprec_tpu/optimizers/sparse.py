@@ -108,6 +108,12 @@ def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names,
     ok = lk.valid & lk.admitted & (lk.slot_ids < c)
     no_slot = jnp.int32(c)
     dst = jnp.where(ok, lk.slot_ids, no_slot)
+    # Upcast BEFORE the scatter.  Riding bf16 grads natively through the
+    # stream kernel (half the bytes; segment_scatter supports it with
+    # exact f32 accumulation) was built and measured SLOWER in-step —
+    # the grad permute is row-issue-bound, not bandwidth-bound, so
+    # halving bytes buys nothing and the packed-id decode adds work
+    # (PERF.md rejected optimizations, benchmarks/bf16grad_ab.py).
     grad = grad.astype(table.value_dtype)
 
     # The single large scatter of the hot path.  ops/segment_scatter owns
@@ -119,7 +125,8 @@ def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names,
     # chunked cnt writes) measured 2.2 ms SLOWER interleaved — XLA
     # schedules the standalone scalar scatter nearly for free.  Rows with
     # dst == capacity (masked positions) are dropped.
-    g_dense = segment_scatter.scatter_add_rows(dst, grad, c)
+    g_dense = segment_scatter.scatter_add_rows(dst, grad, c).astype(
+        table.value_dtype)
     # Per-slot counts: reuse the plane the lookup phase already scattered
     # when its mask provably equals ours — no counter filter means
     # admitted == found, so ok == the lookup's found mask.  (A counter

@@ -392,6 +392,7 @@ class Trainer:
             # delayed apply: push (lk_t, g_t), pop and apply (lk_{t-k}, g_{t-k})
             pending = dict(pending)
             for pname, g in gg.items():
+                g = self._grad_for_apply(g)
                 fifo = pending[pname]
                 old_lk, old_g = fifo[0]
                 pending[pname] = tuple(fifo[1:]) + ((lks[pname], g),)
@@ -402,7 +403,7 @@ class Trainer:
         else:
             for pname, g in gg.items():
                 tables[pname] = self.sparse_optimizer.apply(
-                    tables[pname], lks[pname], g,
+                    tables[pname], lks[pname], self._grad_for_apply(g),
                     step=state.step, use_counts=self.use_counts,
                 )
         auc = M.auc_update(state.auc, logits, plabels)
@@ -412,6 +413,16 @@ class Trainer:
         )
         return new_state, {"loss": loss}
 
+    def _grad_for_apply(self, g):
+        """Gradient dtype at the sparse apply.  Downcasting bf16-compute
+        cotangents here is LOSSLESS (they are exact upcasts of bf16
+        values) and segment_scatter can carry bf16 natively — but the
+        native path measured 2-3% SLOWER in-step (the grad permute is
+        row-issue-bound; benchmarks/bf16grad_ab.py, PERF.md rejected
+        optimizations), so the default stays f32 pass-through."""
+
+        return g
+
     def _zero_pending(self, batch: Dict):
         """Build the staleness FIFO primed with no-op entries (valid=False
         everywhere -> the masked apply touches nothing) whose shapes match
@@ -420,13 +431,16 @@ class Trainer:
 
         import numpy as np
 
+        from deeprec_tpu.models import columns
+
         pending = {}
         for pname, pspec in self.plan.physical.items():
             n = 0
             for lname, _ in pspec.members:
                 spec = self.model.table_specs[lname]
-                cols = [spec.feature or lname] + list(spec.shared_features)
-                for col in cols:
+                shape = columns.feature_shape(spec, batch)
+                n += int(np.prod(shape)) if shape else 1
+                for col in spec.shared_features:
                     shape = np.shape(batch["cat"][col])
                     n += int(np.prod(shape)) if shape else 1
             t = self.tables[pname]
@@ -482,7 +496,7 @@ class Trainer:
             for pname, g in gg.items():
                 tables = dict(tables)
                 tables[pname] = self.sparse_optimizer.apply(
-                    tables[pname], lks[pname], g,
+                    tables[pname], lks[pname], self._grad_for_apply(g),
                     step=state.step, use_counts=self.use_counts)
             auc = M.auc_update(auc, logits, plabels)
         gp = jax.tree.map(lambda x: x / m, dense_acc)

@@ -177,6 +177,54 @@ def test_stream_path_all_dropped():
     np.testing.assert_allclose(got, 0.0)
 
 
+@pytest.mark.parametrize("pattern", ["uniform", "zipf", "clustered"])
+def test_stream_path_bf16_exact_f32_accumulation(pattern):
+    """bf16 rows ride the stream kernel natively (3x 8-bit id columns, one
+    term): the result must EQUAL upcasting the bf16 grads to f32 first —
+    the MXU accumulates f32, so no bf16 rounding between partial sums."""
+
+    cap, n, d = 32768, 2048, 64
+    dst, rows = _mk(pattern, cap, n, d)
+    rows16 = rows.astype(jnp.bfloat16)
+    got = segment_scatter.scatter_add_rows(
+        dst, rows16, cap, _force="stream", _interpret=True)
+    assert got.dtype == jnp.float32
+    want = ref_np(dst, rows16.astype(jnp.float32), cap)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_stream_path_bf16_id_packing_reaches_high_slots():
+    """Slots above 2^16 exercise all three 8-bit id chunk columns."""
+
+    cap, n, d = 2 ** 18, 2048, 32
+    rng = np.random.RandomState(3)
+    dst = rng.randint(cap - 5000, cap, n).astype(np.int32)
+    dst[::7] = rng.randint(0, 300, len(dst[::7]))
+    rows = rng.randn(n, d).astype(np.float32)
+    rows16 = jnp.asarray(rows).astype(jnp.bfloat16)
+    got = np.asarray(segment_scatter.scatter_add_rows(
+        jnp.asarray(dst), rows16, cap, _force="stream", _interpret=True))
+    want = ref_np(jnp.asarray(dst), rows16.astype(jnp.float32), cap)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_non_stream_paths_upcast():
+    """Every non-stream strategy upcasts bf16 before accumulating (a raw
+    bf16 .at[].add would round between partial sums)."""
+
+    cap, n, d = 2048, 1500, 8
+    dst, rows = _mk("zipf", cap, n, d)
+    rows16 = rows.astype(jnp.bfloat16)
+    for force in ("xla", "chunked", "kernel"):
+        kw = {"_interpret": True} if force == "kernel" else {}
+        got = segment_scatter.scatter_add_rows(
+            dst, rows16, cap, _force=force, **kw)
+        assert got.dtype == jnp.float32, force
+        np.testing.assert_allclose(
+            np.asarray(got), ref_np(dst, rows16.astype(jnp.float32), cap),
+            rtol=2e-4, atol=2e-4, err_msg=force)
+
+
 def test_default_dispatch_routes(monkeypatch):
     """Production dispatch contract: TPU + f32 + n >= 32k + big-enough
     capacity -> stream kernel; small n, small capacity, or other backends
@@ -207,7 +255,12 @@ def test_default_dispatch_routes(monkeypatch):
     segment_scatter.scatter_add_rows(dst_big, rows_big, 2 ** 14)
     assert routed == ["stream"]
 
-    # non-f32 -> xla
+    # bf16 -> stream natively since round 3c (half-traffic layout)
     segment_scatter.scatter_add_rows(
         dst_big, rows_big.astype(jnp.bfloat16), 2 ** 19)
-    assert routed == ["stream"]
+    assert routed == ["stream", "stream"]
+
+    # other dtypes -> xla
+    segment_scatter.scatter_add_rows(
+        dst_big, rows_big.astype(jnp.float16), 2 ** 19)
+    assert routed == ["stream", "stream"]

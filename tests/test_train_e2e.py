@@ -104,6 +104,37 @@ def test_bf16_training_runs():
     assert np.isfinite(float(state.auc.n_pos))
 
 
+def test_bf16_grad_downcast_is_lossless():
+    """Under bf16 compute, the cotangent at the gathered boundary is an
+    exact upcast of a bf16 value, so forcing the sparse apply's grads down
+    to bf16 produces BITWISE-identical tables (the capability the stream
+    kernel's native-bf16 layout relies on; default stays f32 — measured
+    slower in-step, see PERF.md rejected optimizations)."""
+
+    import jax.numpy as jnp
+
+    def run(downcast):
+        model = tiny_model(n_cols=2)
+        tables = base.make_tables(model)
+        tr = Trainer(model=model, tables=tables,
+                     sparse_optimizer=sparse.adagrad(lr=0.05),
+                     dense_tx=optax.adagrad(0.05), bf16=True)
+        if downcast:
+            tr._grad_for_apply = lambda g: g.astype(jnp.bfloat16)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        gen = SyntheticCriteo(batch_size=128, num_ids_per_col=500, seed=3)
+        it = iter(gen)
+        for _ in range(6):
+            state, _ = tr.train_step(state, next(it))
+        return state
+
+    a, b = run(True), run(False)
+    for n in a.tables:
+        np.testing.assert_array_equal(
+            np.asarray(a.tables[n].values), np.asarray(b.tables[n].values),
+            err_msg=n)
+
+
 @pytest.mark.parametrize("model_name", ["dlrm", "wdl", "deepfm"])
 def test_model_smoke(model_name):
     """One train step through each real model (shape/compile check)."""
