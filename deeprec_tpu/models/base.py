@@ -157,6 +157,16 @@ def make_tables(
                 f"physical table {name}: {len(pspec.members)} members x "
                 f"id_bits={pspec.id_bits} overflows {key_dtype}"
             )
+        if key_dtype != jnp.int32:
+            for lname, _ in pspec.members:
+                if model.table_specs[lname].cross:
+                    # Crossed columns mark missing components with the
+                    # int32 EMPTY sentinel; after astype(key_dtype) that
+                    # is NOT empty_key(int64), so padded positions would
+                    # become real trainable ids.
+                    raise ValueError(
+                        f"{lname}: crossed columns require int32 table "
+                        f"keys (got {jnp.dtype(key_dtype).name})")
         opt = option or cfg.EmbeddingVariableOption()
         cap = capacity or pspec.initial_capacity
         opt = dataclasses.replace(opt, initial_capacity=cap)

@@ -57,10 +57,16 @@ def feature_ids(spec, col: Optional[str], batch, xp):
     path — outputs are bit-identical.
     """
 
+    if col is not None:
+        # Shared-feature extras are ALWAYS raw batch columns — the derived
+        # transform applies only to the spec's primary column.  (Without
+        # this, host_group_keys would derive ids for extras while the
+        # device path feeds raw ids, de-syncing the tiered prefetch.)
+        return batch["cat"][col]
     cross = getattr(spec, "cross", ())
     bounds = getattr(spec, "bucket_boundaries", ())
     if not cross and not bounds:
-        return batch["cat"][col or spec.feature or spec.name]
+        return batch["cat"][spec.feature or spec.name]
     is_np = xp.__name__ == "numpy"
     h2u = hashing.hash_to_u32_np if is_np else hashing.hash_to_u32
     if cross:

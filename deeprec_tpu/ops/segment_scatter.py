@@ -390,7 +390,11 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
         # 64 AND 128 grid steps with a 27.8 MB stream, not staged at 256
         # (DLRM production shape, round 2d) — gate at 256.  Small-cap
         # tables keep the XLA scatter.
-        if cap % OUTER or cap // OUTER < 256 or d_pad >= 128:
+        # cap must also fit the kernel's id encodings exactly: one f32
+        # column (ints < 2^24) or three 8-bit bf16 chunks (same bound) —
+        # beyond it slot ids would silently round and corrupt rows.
+        if (cap % OUTER or cap // OUTER < 256 or d_pad >= 128
+                or cap > (1 << 24)):
             return _xla_scatter(dst, rows.astype(jnp.float32)
                                 if rows.dtype == jnp.bfloat16 else rows, cap)
         if d_pad != d:

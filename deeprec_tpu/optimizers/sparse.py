@@ -69,6 +69,7 @@ class SparseOptimizer:
         *,
         step: jnp.ndarray | int = 0,
         use_counts: bool = False,
+        strategy: Optional[str] = None,
     ) -> ev.EmbeddingTable:
         """Apply sparse gradients [N, D] (per batch position) to the table.
 
@@ -77,20 +78,62 @@ class SparseOptimizer:
         version bump) — matching the filter-gated sparse-apply
         (training_ali_ops.cc:143-160).  Duplicate positions of the same id
         have their gradients summed before the update rule runs.
+
+        ``strategy``: ``None``/"auto" dispatches on shape (see
+        ``_pick_strategy``); "dense" forces the dense-masked apply,
+        "compact" the touched-set chunked apply — test/benchmark hooks.
         """
 
         return _apply_jit(
             table, lk, grad, jnp.asarray(step, jnp.int32), dict(self.hyper),
             update=self.update, slot_names=self.slot_names,
-            use_counts=use_counts,
+            use_counts=use_counts, strategy=strategy or APPLY_STRATEGY,
         )
 
 
+# Module-level default dispatch ("auto" / "dense" / "compact").  Benchmarks
+# override it to force one path process-wide; production code leaves "auto".
+APPLY_STRATEGY = "auto"
+
+
+def _pick_strategy(n: int, capacity: int, n_arrays: int) -> str:
+    """Shape-based dense-vs-compact dispatch (measured on v5e, interleaved —
+    benchmarks/apply_compact_ab.py, PERF.md "Touched-set apply", round 4).
+
+    The measurement went AGAINST the obvious theory: the dense-masked
+    apply's full-capacity [C, D] passes are bandwidth-cheap on TPU, while
+    the compact path pays ~24 ns/row of gather+scatter ISSUE cost per state
+    array plus a sort — it lost 2.5-3.5x at every production shape
+    (dlrm@2048 3.2->11.5 ms, dlrm@16384 30.5->82.7, din@2048 12.9->26.5).
+    Dense stays the default at any batch that shares an order of magnitude
+    with the table; compact is reserved for the extreme small-batch/huge-
+    table regime where measurement shows the crossover (see the threshold
+    below, from benchmarks/apply_dense_ablate.py)."""
+
+    return "compact" if capacity >= 256 * n else "dense"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("update", "slot_names", "use_counts")
+    jax.jit, static_argnames=("update", "slot_names", "use_counts",
+                              "strategy")
 )
 def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names,
-               use_counts):
+               use_counts, strategy="auto"):
+    """Sparse apply dispatch: dense-masked (engine v2) or touched-set
+    compact (round 4) per ``_pick_strategy``."""
+
+    if strategy == "auto":
+        strategy = _pick_strategy(
+            int(grad.shape[0]), table.capacity, 1 + len(slot_names))
+    if strategy == "compact":
+        return _apply_compact(table, lk, grad, step, hyper, update=update,
+                              slot_names=slot_names, use_counts=use_counts)
+    return _apply_dense(table, lk, grad, step, hyper, update=update,
+                        slot_names=slot_names, use_counts=use_counts)
+
+
+def _apply_dense(table, lk, grad, step, hyper, *, update, slot_names,
+                 use_counts):
     """Dense-masked sparse apply (engine v2).
 
     TPU reality check (measured on v5e, honest timing): an XLA row scatter
@@ -166,6 +209,109 @@ def _apply_jit(table, lk, grad, step, hyper, *, update, slot_names,
         touched = touched | touched_now
     return table.replace(values=values, slots=slots, versions=versions,
                          touched=touched)
+
+
+_COMPACT_K = 16384  # chunk width of the compact apply's while_loop
+
+
+def _apply_compact(table, lk, grad, step, hyper, *, update, slot_names,
+                   use_counts):
+    """Touched-set sparse apply (round 4): capacity-INDEPENDENT update.
+
+    The dense-masked apply reads+writes every [C, D] state array each step
+    (~(2 + n_slots) full-capacity passes plus a dense [C, D] gradient
+    buffer) — the reference's apply hot loop touches exactly the looked-up
+    ids (training_ali_ops.cc:143-160), and this path restores that scaling
+    on TPU with static shapes:
+
+      1. sort batch positions by destination slot (masked positions sort
+         last as ``dst == capacity``);
+      2. segment-aggregate duplicate gradients into compact [U, D] rows
+         with a contiguous-destination ``.at[seg].add`` (destinations are
+         0..U-1 in order — cache-resident, unlike the random dense scatter)
+         and recover the unique slot id per segment the same way;
+      3. a ``lax.while_loop`` of ceil(U / K) chunks, each doing one K-row
+         gather of values+slots, the update rule on [K, D], and K-row
+         ``.set`` scatters back — only LIVE rows move, and the carry
+         aliases in place (a no-op batch costs zero iterations).
+
+    Numerically identical to the dense path up to f32 summation order of
+    duplicate gradients.  Versions/touched update inside the chunk loop,
+    so this path never materializes a dense per-slot count plane.
+    """
+
+    c = table.capacity
+    n, d = grad.shape
+    K = min(_COMPACT_K, _pow2ceil(n))
+    n_pad = -(-n // K) * K
+    ok = lk.valid & lk.admitted & (lk.slot_ids < c)
+    dst = jnp.where(ok, lk.slot_ids, c).astype(jnp.int32)
+    grad = grad.astype(table.value_dtype)
+
+    order = jnp.argsort(dst)
+    sdst = dst[order]
+    sgrad = grad[order]
+    heads = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sdst[1:] != sdst[:-1]])
+    seg = jnp.cumsum(heads.astype(jnp.int32)) - 1
+    # Compact per-unique sums: destinations are contiguous ascending, so
+    # this scatter-add stays cache-resident (unlike the dense [C, D] one).
+    g_u = jnp.zeros((n_pad, d), grad.dtype).at[seg].add(sgrad)
+    u_dst = jnp.full((n_pad,), c, jnp.int32).at[seg].min(sdst)
+    # u_dst is ascending with the pad value (c) last, masked positions
+    # included (their segment's value IS c): live segment count =
+    n_u = jnp.searchsorted(u_dst, jnp.int32(c)).astype(jnp.int32)
+    if use_counts:
+        scnt = jnp.where(ok, lk.counts, 0)[order]
+        cnt_u = jnp.zeros((n_pad,), jnp.int32).at[seg].add(scnt)
+    else:
+        cnt_u = None
+
+    dt = table.value_dtype
+    arrs = (table.values,) + tuple(table.slots[s] for s in slot_names)
+    versions, touched = table.versions, table.touched
+
+    def cond(carry):
+        return carry[0] * K < n_u
+
+    def body(carry):
+        i, arrs, versions, touched = carry
+        # i*K + K <= n_pad always (n_pad is a K multiple): no clamp, no
+        # overlap — a row is gathered+updated at most once.
+        sl = jax.lax.dynamic_slice_in_dim(u_dst, i * K, K)
+        gs = jax.lax.dynamic_slice_in_dim(g_u, i * K, K)
+        slc = jnp.minimum(sl, c - 1)
+        p = arrs[0][slc]
+        s = {name: arrs[1 + j][slc] for j, name in enumerate(slot_names)}
+        ctx = dict(hyper)
+        ctx["step"] = step
+        if cnt_u is None:
+            ctx["counts"] = jnp.ones((K, 1), dt)
+        else:
+            ctx["counts"] = jax.lax.dynamic_slice_in_dim(
+                cnt_u, i * K, K)[:, None].astype(dt)
+        new_p, new_s = update(p, s, gs, ctx)
+        out = [arrs[0].at[sl].set(new_p.astype(dt), mode="drop")]
+        for j, name in enumerate(slot_names):
+            out.append(arrs[1 + j].at[sl].set(new_s[name].astype(dt),
+                                              mode="drop"))
+        if versions is not None:
+            versions = versions.at[sl].set(step, mode="drop")
+        if touched is not None:
+            touched = touched.at[sl].set(True, mode="drop")
+        return i + 1, tuple(out), versions, touched
+
+    _, arrs, versions, touched = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), arrs, versions, touched))
+    slots = dict(table.slots)
+    for j, name in enumerate(slot_names):
+        slots[name] = arrs[1 + j]
+    return table.replace(values=arrs[0], slots=slots, versions=versions,
+                         touched=touched)
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,24 @@ class ShardedTiers:
         self._mp = jax.process_count() > 1
         proc = jax.process_index()
         axis_devices = self._axis_devices(mesh, axis)
+        if self._mp:
+            # Promotion fills non-owner replica slices with EMPTY filler
+            # (make_array_from_callback below), which is only sound when
+            # every replica device of a shard lives on the OWNER's process
+            # — otherwise replicas of one logical shard would diverge
+            # inside the promote shard_map and corrupt the hot table.
+            ax = list(mesh.axis_names).index(axis)
+            dev = np.moveaxis(np.asarray(mesh.devices), ax, 0)
+            for s in range(dev.shape[0]):
+                procs = {d.process_index
+                         for d in np.asarray(dev[s]).reshape(-1)}
+                if len(procs) > 1:
+                    raise ValueError(
+                        f"ShardedTiers: shard {s} of axis {axis!r} has "
+                        f"replica devices on processes {sorted(procs)}; "
+                        "multi-controller tiers require each shard's "
+                        "replicas to live on one process (make the "
+                        f"{axis!r} axis the process-spanning one)")
         self.local_shards = tuple(
             s for s in range(self.num_shards)
             if axis_devices[s].process_index == proc)

@@ -111,6 +111,9 @@ class GrpcInferenceServer:
                 arr = _decode_input(t, raw)
                 if t.name == "dense":
                     dense = arr.astype(np.float32)
+                elif arr.dtype.kind == "f":
+                    # FP-typed cat inputs are combiner weights
+                    cat[t.name] = arr.astype(np.float32)
                 else:
                     cat[t.name] = arr.astype(np.int32)
             if dense is None:

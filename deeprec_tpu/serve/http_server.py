@@ -44,17 +44,23 @@ def _v2_metadata(proc) -> dict:
                "shape": [-1, proc.model.dense_dim]}]
     seen = set()
     for name, spec in proc.model.table_specs.items():
-        if getattr(spec, "bucket_boundaries", ()):
-            continue  # reads the dense tensor only
-        cols = (list(spec.cross) if getattr(spec, "cross", ())
-                else [spec.feature or name])
-        for col in cols + list(spec.shared_features):
-            if col in seen:
-                continue
-            seen.add(col)
-            seq = spec.sequence or col.startswith("hist")
-            inputs.append({"name": col, "datatype": "INT32",
-                           "shape": [-1, spec.seq_len] if seq else [-1]})
+        wide = spec.sequence or getattr(spec, "multivalent", False)
+        if not getattr(spec, "bucket_boundaries", ()):
+            cols = (list(spec.cross) if getattr(spec, "cross", ())
+                    else [spec.feature or name])
+            for col in cols + list(spec.shared_features):
+                if col in seen:
+                    continue
+                seen.add(col)
+                seq = wide or col.startswith("hist")
+                inputs.append({"name": col, "datatype": "INT32",
+                               "shape": [-1, spec.seq_len] if seq else [-1]})
+        w = getattr(spec, "weight_feature", None)
+        if w is not None and w not in seen:
+            # weighted_categorical_column combiner weights: FP32, id-shaped
+            seen.add(w)
+            inputs.append({"name": w, "datatype": "FP32",
+                           "shape": [-1, spec.seq_len] if wide else [-1]})
     return {"name": proc.model.name, "platform": "deeprec_tpu",
             "versions": [str(proc.get_serving_model_info()["version"])],
             "inputs": inputs,
@@ -74,6 +80,9 @@ def _v2_request_to_batch(req: dict) -> dict:
         arr = np.asarray(inp["data"], dt).reshape(inp["shape"])
         if inp["name"] == "dense":
             dense = arr.astype(np.float32)
+        elif np.dtype(dt).kind == "f":
+            # FP-typed cat inputs are combiner weights — never truncate
+            cat[inp["name"]] = arr.astype(np.float32)
         else:
             cat[inp["name"]] = arr.astype(np.int32)
     if dense is None:

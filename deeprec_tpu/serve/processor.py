@@ -336,16 +336,22 @@ class Processor:
             # derive the column set from the specs (crossed specs consume
             # their component columns; bucketized specs read dense only)
             for name, spec in self.model.table_specs.items():
-                if getattr(spec, "bucket_boundaries", ()):
-                    continue
-                cols = (list(spec.cross) if getattr(spec, "cross", ())
-                        else [spec.feature or name])
-                cols += list(spec.shared_features)
-                for c in cols:
-                    if spec.sequence or c.startswith("hist"):
-                        fake["cat"][c] = np.zeros((b, spec.seq_len), np.int32)
-                    else:
-                        fake["cat"].setdefault(c, np.zeros((b,), np.int32))
+                wide = (spec.sequence or getattr(spec, "multivalent", False))
+                if not getattr(spec, "bucket_boundaries", ()):
+                    cols = (list(spec.cross) if getattr(spec, "cross", ())
+                            else [spec.feature or name])
+                    cols += list(spec.shared_features)
+                    for c in cols:
+                        if wide or c.startswith("hist"):
+                            fake["cat"][c] = np.zeros((b, spec.seq_len),
+                                                      np.int32)
+                        else:
+                            fake["cat"].setdefault(c, np.zeros((b,), np.int32))
+                w = getattr(spec, "weight_feature", None)
+                if w is not None:
+                    # combiner weights ride in cat as FLOATS, id-shaped
+                    shape = (b, spec.seq_len) if wide else (b,)
+                    fake["cat"][w] = np.ones(shape, np.float32)
             self.predict(fake)
 
     def _warmup_from_file(self, path: str) -> None:
@@ -360,8 +366,10 @@ class Processor:
                 req = json.loads(line)
                 self.predict({
                     "dense": np.asarray(req["dense"], np.float32),
-                    "cat": {k: np.asarray(v, np.int32)
-                            for k, v in req["cat"].items()},
+                    # dtype-preserving: float columns are combiner weights
+                    "cat": {k: (lambda a: a.astype(
+                        np.float32 if a.dtype.kind == "f" else np.int32))(
+                        np.asarray(v)) for k, v in req["cat"].items()},
                 })
 
     # -- async session-group API -------------------------------------------

@@ -220,6 +220,9 @@ class Trainer:
     # synchronous.  Growth/demotion events drop the in-flight window (<= k
     # steps of sparse grads), mirroring async-PS update loss on repartition.
     staleness: int = 0
+    # Sparse-apply strategy override (None = shape dispatch; "dense" /
+    # "compact" force one path — see optimizers/sparse._pick_strategy).
+    apply_strategy: Any = None
 
     def __post_init__(self):
         if self.staleness and self.micro_batch_num > 1:
@@ -399,12 +402,14 @@ class Trainer:
                 tables[pname] = self.sparse_optimizer.apply(
                     tables[pname], old_lk, old_g,
                     step=state.step, use_counts=self.use_counts,
+                    strategy=self.apply_strategy,
                 )
         else:
             for pname, g in gg.items():
                 tables[pname] = self.sparse_optimizer.apply(
                     tables[pname], lks[pname], self._grad_for_apply(g),
                     step=state.step, use_counts=self.use_counts,
+                    strategy=self.apply_strategy,
                 )
         auc = M.auc_update(state.auc, logits, plabels)
         new_state = state.replace(
@@ -497,7 +502,8 @@ class Trainer:
                 tables = dict(tables)
                 tables[pname] = self.sparse_optimizer.apply(
                     tables[pname], lks[pname], self._grad_for_apply(g),
-                    step=state.step, use_counts=self.use_counts)
+                    step=state.step, use_counts=self.use_counts,
+                    strategy=self.apply_strategy)
             auc = M.auc_update(auc, logits, plabels)
         gp = jax.tree.map(lambda x: x / m, dense_acc)
         updates, opt_state = self.dense_tx.update(gp, state.opt_state,

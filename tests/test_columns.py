@@ -208,3 +208,30 @@ def test_host_group_keys_covers_derived_columns():
     got = np.concatenate(list(gk.values()))
     all_ids = np.concatenate([want_x, want_b])
     assert set(all_ids.tolist()) <= set(got.tolist())
+
+
+def test_derived_spec_with_shared_extras_host_ids_raw():
+    """A crossed/bucketized spec that also declares shared_features must
+    feed the extras' RAW batch ids on the host path (ADVICE r3: the device
+    path always did; a derived extra would de-sync the tiered prefetch)."""
+
+    spec = base.TableSpec(name="X", dim=4, cross=("C1", "C2"),
+                          cross_buckets=1 << 12, shared_features=("C3",))
+    b = {"dense": np.zeros((16, 13), np.float32),
+         "cat": {c: np.arange(16, dtype=np.int32) * (i + 1)
+                 for i, c in enumerate(["C1", "C2", "C3"])}}
+    raw = columns.feature_ids(spec, "C3", b, np)
+    np.testing.assert_array_equal(raw, b["cat"]["C3"])
+    dev = np.asarray(columns.feature_ids(spec, "C3", b, jnp))
+    np.testing.assert_array_equal(dev, raw)
+
+
+def test_crossed_requires_int32_keys():
+    """Crossed columns emit the int32 EMPTY sentinel; int64-keyed tables
+    would turn padded cross positions into real ids (ADVICE r3)."""
+
+    spec = base.TableSpec(name="X", dim=4, cross=("C1", "C2"),
+                          cross_buckets=1 << 12)
+    model = _linear_model({"X": spec})
+    with pytest.raises(ValueError, match="int32"):
+        base.make_tables(model, key_dtype=jnp.int64)

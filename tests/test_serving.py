@@ -510,3 +510,75 @@ def test_sharded_serving_delta_ingestion(tmp_path):
     np.testing.assert_array_equal(group.predict(req), single.predict(req))
     single.shutdown()
     group.shutdown()
+
+
+def test_weighted_column_serving(tmp_path):
+    """Weighted feature columns through the full serving surface (ADVICE r3):
+    Processor construction with warmup=True must not crash, _v2_metadata
+    must declare the weight input as FP32, and FP32-typed cat inputs must
+    reach the combiner un-truncated (doubling weights doubles a SUM-combined
+    linear score)."""
+
+    import jax.numpy as jnp
+
+    from deeprec_tpu.serve.http_server import (_v2_metadata,
+                                               _v2_request_to_batch)
+
+    spec = base.TableSpec(name="C1", dim=4, combiner=cfg.Combiner.SUM,
+                          seq_len=3, multivalent=True,
+                          weight_feature="C1_w", initial_capacity=2 ** 10)
+
+    def init_params(key):
+        return {"w": jax.random.normal(key, (4,), jnp.float32) * 0.1}
+
+    def forward(params, batch, acts, train=True):
+        import jax.numpy as jnp
+        return jnp.sum(acts["C1"] * params["w"], axis=1)
+
+    model = base.RecModel(name="wtiny", table_specs={"C1": spec},
+                          init_params=init_params, forward=forward)
+    tables = base.make_tables(model)
+    tr = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    b = {"dense": np.zeros((32, 0), np.float32),
+         "cat": {"C1": rng.randint(0, 50, (32, 3)).astype(np.int32)},
+         "weights": {"C1_w": np.ones((32, 3), np.float32)},
+         "label": rng.randint(0, 2, 32).astype(np.float32)}
+    for _ in range(3):
+        state, _ = tr.train_step(state, b)
+    saver.save_checkpoint(str(tmp_path), state)
+
+    # warmup=True exercised the crash: fake batch must include the weight col
+    p = Processor(model, {"session_num": 1, "bucket_sizes": [32],
+                          "warmup": True})
+    p.initialize(str(tmp_path))
+
+    meta = _v2_metadata(p)
+    by_name = {i["name"]: i for i in meta["inputs"]}
+    assert by_name["C1_w"]["datatype"] == "FP32"
+    assert by_name["C1"]["datatype"] == "INT32"
+
+    # FP32 weights through the v2 decoder: no int truncation
+    ids = rng.randint(0, 50, (8, 3)).astype(np.int32)
+    def req(wscale):
+        return {"inputs": [
+            {"name": "dense", "datatype": "FP32", "shape": [8, 0],
+             "data": []},
+            {"name": "C1", "datatype": "INT32", "shape": [8, 3],
+             "data": ids.reshape(-1).tolist()},
+            {"name": "C1_w", "datatype": "FP32", "shape": [8, 3],
+             "data": (wscale * np.ones(24)).tolist()},
+        ]}
+    batch1 = _v2_request_to_batch(req(0.5))
+    assert batch1["cat"]["C1_w"].dtype == np.float32
+    assert float(batch1["cat"]["C1_w"][0, 0]) == 0.5
+    s1 = p.predict(batch1)
+    s2 = p.predict(_v2_request_to_batch(req(1.0)))
+    # SUM combine is linear in weights; sigmoid(logit) differs unless all 0
+    logit1 = np.log(s1 / (1 - s1))
+    logit2 = np.log(s2 / (1 - s2))
+    np.testing.assert_allclose(logit2, 2.0 * logit1, rtol=1e-3, atol=1e-5)
+    p.shutdown()

@@ -259,3 +259,60 @@ def test_optimizer_eviction_matrix(name, policy):
         # first-step magnitude legitimately differs)
         want = dense_reference(name, np.zeros(dim, np.float32), [g2])
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("name", sorted(OPTS))
+@pytest.mark.parametrize("use_counts", [False, True])
+def test_compact_apply_parity(name, use_counts):
+    """The touched-set (compact) apply must match the dense-masked apply
+    bit-for-bit up to f32 summation order of duplicate gradients — on a
+    batch with duplicates, masked padding, an un-admitted tail (counter
+    filter) and untouched rows (round 4, optimizers/sparse._apply_compact;
+    reference per-id apply: training_ali_ops.cc:143-160)."""
+
+    dim = 8
+    opt = cfg.EmbeddingVariableOption(
+        counter_filter=cfg.CounterFilterOption(filter_freq=2),
+        init=cfg.InitializerOption(initializer="zeros"))
+    rng = np.random.RandomState(3)
+    ids_np = rng.randint(0, 500, size=300)
+    ids_np[::17] = ev.empty_key(jnp.int32)       # padding positions
+    ids = jnp.asarray(ids_np, jnp.int32)
+    g = jnp.asarray(rng.randn(300, dim), jnp.float32)
+
+    tabs = {}
+    for strat in ("dense", "compact"):
+        t = ev.create("t", dim=dim, capacity=1024, option=opt)
+        o = OPTS[name]()
+        t = o.init(t)
+        for step in range(3):   # step 0 leaves ids un-admitted (freq 1 < 2)
+            t, lk = ev.lookup_phase(t, ids, step=step, train=True)
+            t = o.apply(t, lk, g, step=step, use_counts=use_counts,
+                        strategy=strat)
+        tabs[strat] = t
+    td, tc = tabs["dense"], tabs["compact"]
+    np.testing.assert_allclose(np.asarray(td.values), np.asarray(tc.values),
+                               rtol=1e-6, atol=1e-6)
+    for s in td.slots:
+        np.testing.assert_allclose(np.asarray(td.slots[s]),
+                                   np.asarray(tc.slots[s]),
+                                   rtol=1e-6, atol=1e-6, err_msg=s)
+    np.testing.assert_array_equal(np.asarray(td.versions),
+                                  np.asarray(tc.versions))
+    np.testing.assert_array_equal(np.asarray(td.touched),
+                                  np.asarray(tc.touched))
+
+
+def test_compact_apply_zero_batch_free():
+    """A fully-masked batch must take ZERO chunk iterations (the while_loop
+    carry aliases in place) and leave the table bit-identical."""
+
+    t = ev.create("t", dim=4, capacity=256)
+    o = sparse.adagrad(lr=0.1)
+    t = o.init(t)
+    ids = jnp.full((64,), ev.empty_key(jnp.int32), jnp.int32)
+    t1, lk = ev.lookup_phase(t, ids, step=0, train=True)
+    t2 = o.apply(t1, lk, jnp.ones((64, 4)), step=0, strategy="compact")
+    np.testing.assert_array_equal(np.asarray(t1.values), np.asarray(t2.values))
+    np.testing.assert_array_equal(np.asarray(t1.versions),
+                                  np.asarray(t2.versions))
