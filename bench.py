@@ -10,7 +10,12 @@ vs_baseline = our examples/s-per-chip / 141266.06.
 
 Method: full training step (grouped EV lookup-or-insert + DLRM fwd/bwd +
 dense adagrad + sparse adagrad apply) at batch 2048, bf16 dense compute, ids
-drawn power-law from 26 x 1M spaces.  Input batches are pre-generated and
+drawn from the CALIBRATED Criteo-Kaggle proxy (data/criteo_proxy.py: the
+published per-column cardinalities incl. the 10.1M-row columns, ~Zipf(1)
+popularity, Kaggle missing rates) — the same table/insert regime as the
+reference's Criteo benchmark, not a synthetic uniform-id stand-in (round-4
+re-anchor; round 2's 10x scatter mis-estimate taught that distribution
+shape moves these numbers).  Input batches are pre-generated and
 device-resident so the number reflects the training engine (the input
 pipeline is benchmarked separately; see deeprec_tpu/data).
 """
@@ -27,13 +32,13 @@ def main():
     import optax
 
     from deeprec_tpu import config as cfg
-    from deeprec_tpu.data.synthetic import SyntheticCriteo
+    from deeprec_tpu.data.criteo_proxy import CriteoKaggleProxy
     from deeprec_tpu.models import base, dlrm
     from deeprec_tpu.optimizers import sparse
     from deeprec_tpu.train.loop import Trainer
 
     BATCH = 2048
-    N_BATCHES = 32
+    N_BATCHES = 64
     WARMUP = 10
     MEASURE = 40
     BASELINE = 141266.06
@@ -51,7 +56,7 @@ def main():
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
 
-    gen = SyntheticCriteo(batch_size=BATCH, num_ids_per_col=1_000_000, seed=1)
+    gen = CriteoKaggleProxy(batch_size=BATCH, seed=1)
     rng = np.random.RandomState(7)
     batches = [jax.device_put(gen.sample(rng)) for _ in range(N_BATCHES)]
 

@@ -108,6 +108,17 @@ def _merge_and_partition(parts: List[Dict]) -> Tuple[Dict, np.ndarray]:
     return merged, offsets.astype(np.int64)
 
 
+def _one_shard(table: ev.EmbeddingTable, s: int) -> ev.EmbeddingTable:
+    """One shard of a stacked table as a flat local table (device-side
+    slice; no host materialization)."""
+
+    if table.keys.ndim == 1:
+        return table
+    from deeprec_tpu.parallel.trainer import local_view
+
+    return local_view(jax.tree.map(lambda x: x[s:s + 1], table))
+
+
 def _table_shards(table: ev.EmbeddingTable) -> List[ev.EmbeddingTable]:
     """A stacked (sharded) table [S, ...] -> list of per-shard tables."""
 
@@ -207,9 +218,32 @@ def _addressable_table_shards(table: ev.EmbeddingTable
 
 
 def _save_table_mshard(path: str, local: ev.EmbeddingTable, shard_idx: int,
-                       num_saved: int, *, shrink_step=None) -> str:
+                       num_saved: int, *, shrink_step=None,
+                       streaming_chunk_rows: Optional[int] = None) -> str:
     """Dump one owned shard to its mshard file, rows sorted by logical
-    partition with an explicit owned-partition index."""
+    partition with an explicit owned-partition index.  With
+    ``streaming_chunk_rows`` the shard is written as bounded routed stream
+    chunks instead (host RSS ~one chunk; the routing-invariant check runs
+    per chunk)."""
+
+    if streaming_chunk_rows:
+        t = local if shrink_step is None else ev.shrink(local, shrink_step)
+        nc, fetch = _chunk_walker(t, streaming_chunk_rows)
+        mbase = _mshard_name(path, shard_idx, num_saved)[:-4]
+        for c in range(nc):
+            host = fetch(c)
+            stray = host["part"][host["part"] % num_saved != shard_idx]
+            if len(stray):
+                raise AssertionError(
+                    f"shard {shard_idx}/{num_saved} of {local.name!r} holds "
+                    f"keys of partitions it does not own: {stray[:8]} — "
+                    "routing invariant violated")
+            extra = {}
+            if c == 0 and t.cbf is not None:
+                extra["cbf"] = np.asarray(jax.device_get(t.cbf))
+            np.savez(_stream_name(mbase, c, nc), **host, **extra)
+            del host
+        return mbase
 
     part = _export_table_host(local, shrink_step=shrink_step)
     pids = np.asarray(
@@ -312,59 +346,102 @@ def _stream_name(path: str, c: int, nc: int) -> str:
     return f"{base}.stream-{c:05d}-of-{nc:05d}.npz"
 
 
-def save_table_streaming(path: str, table: ev.EmbeddingTable, *,
-                         shrink_step=None,
-                         chunk_rows: int = 262_144) -> List[str]:
-    """Dump a table as a sequence of bounded chunk files — host RSS never
-    exceeds ~one chunk, so TB-scale tables stream through a small buffer
-    (the role of the reference's iterative BundleWriter dumps,
-    embedding_var_dump_iterator.h).  Each chunk carries its rows' logical
-    partition ids, so restore-onto-any-shard-count selects per chunk with
-    no global sort; the loader is format-transparent with the monolithic
-    and bundle layouts."""
+def _chunk_walker(table: ev.EmbeddingTable, chunk_rows: int,
+                  *, shard: Optional[int] = None,
+                  touched_only: bool = False):
+    """(nc, fn) where fn(c) -> bounded host dict for capacity chunk ``c``:
+    the chunk's selected live rows compacted to the front on device (dead
+    rows never cross the host boundary) plus a per-row logical 'part'
+    column.  ``shard`` walks one shard of a stacked [S, cap] table without
+    ever materializing the shard (the slice happens inside the jit, so only
+    chunk-sized buffers exist).  ``touched_only`` restricts to the
+    incremental recorder's touched∧live rows (IncrSave semantics)."""
 
-    if shrink_step is not None:
-        table = ev.shrink(table, shrink_step)
-    cap = table.capacity
+    cap = int(table.keys.shape[-1])
     # power-of-two chunk always divides the pow2 capacity: no ragged tail
     chunk_rows = min(1 << (max(chunk_rows, 1).bit_length() - 1), cap)
     nc = cap // chunk_rows
-    files = []
+
+    def plane(x):
+        return x if shard is None else x[shard]
 
     @jax.jit
     def chunk_live(lo):
-        # compact this capacity slice's live rows to the front (device side
-        # — dead rows never cross the host boundary)
-        k = jax.lax.dynamic_slice_in_dim(table.keys, lo, chunk_rows)
+        k = jax.lax.dynamic_slice_in_dim(plane(table.keys), lo, chunk_rows)
         lv = k != table.empty
+        if touched_only:
+            t = jax.lax.dynamic_slice_in_dim(plane(table.touched), lo,
+                                             chunk_rows)
+            lv = lv & t.astype(bool)
         order = jnp.argsort(~lv, stable=True)
         n = jnp.sum(lv.astype(jnp.int32))
-        rows = {"keys": k[order]}
+        rows = {"keys": jnp.where(lv[order], k[order], table.empty)}
         idx = (jax.lax.dynamic_slice_in_dim(
             jnp.arange(cap, dtype=jnp.int32), lo, chunk_rows))[order]
-        rows["values"] = table.values[idx]
+        rows["values"] = plane(table.values)[idx]
         if table.freqs is not None:
-            rows["freqs"] = table.freqs[idx]
+            rows["freqs"] = plane(table.freqs)[idx]
         if table.versions is not None:
-            rows["versions"] = table.versions[idx]
+            rows["versions"] = plane(table.versions)[idx]
         for sname, sval in table.slots.items():
-            rows[f"slot_{sname}"] = sval[idx]
+            rows[f"slot_{sname}"] = plane(sval)[idx]
         part = hashing.logical_partition(rows["keys"])
         return rows, part, n
 
-    for c in range(nc):
+    def fetch(c):
         rows, part, n = chunk_live(jnp.int32(c * chunk_rows))
         n = int(jax.device_get(n))
         host = {k: np.asarray(jax.device_get(v))[:n]
                 for k, v in rows.items()}
         host["part"] = np.asarray(jax.device_get(part))[:n].astype(np.int16)
-        extra = {}
-        if c == 0 and table.cbf is not None:
-            extra["cbf"] = np.asarray(jax.device_get(table.cbf))
-        fname = _stream_name(path, c, nc)
-        np.savez(fname, **host, **extra)
-        files.append(fname)
-        del host, rows
+        return host
+
+    return nc, fetch
+
+
+def save_table_streaming(path: str, table: ev.EmbeddingTable, *,
+                         shrink_step=None,
+                         chunk_rows: int = 262_144) -> List[str]:
+    """Dump a table (flat or stacked/sharded) as a sequence of bounded chunk
+    files — host RSS never exceeds ~one chunk, so TB-scale tables stream
+    through a small buffer (the role of the reference's iterative
+    BundleWriter dumps, embedding_var_dump_iterator.h).  Each chunk carries
+    its rows' logical partition ids, so restore-onto-any-shard-count selects
+    per chunk with no global sort; the loader is format-transparent with the
+    monolithic and bundle layouts.  A stacked [S, ...] table streams shard by
+    shard (no shard is ever materialized whole on the host); per-shard CBF
+    sketches ride each shard's first chunk and the loader sums them
+    saturating (keys route to one owner shard, so the sum is the global
+    count sketch)."""
+
+    stacked = table.keys.ndim == 2
+    S = int(table.keys.shape[0]) if stacked else 1
+    cap = int(table.keys.shape[-1])
+    cr = min(1 << (max(chunk_rows, 1).bit_length() - 1), cap)
+    nc = cap // cr
+    files, g = [], 0
+    for s in range(S):
+        if shrink_step is not None:
+            # shrink needs the per-shard eviction pass; the slice is a
+            # device-side copy (host RSS still bounded by one chunk)
+            t = ev.shrink(_one_shard(table, s), shrink_step)
+            _, fetch = _chunk_walker(t, cr)
+            cbf = t.cbf
+        else:
+            _, fetch = _chunk_walker(table, cr,
+                                     shard=s if stacked else None)
+            cbf = (table.cbf[s] if stacked and table.cbf is not None
+                   else table.cbf)
+        for c in range(nc):
+            host = fetch(c)
+            extra = {}
+            if c == 0 and cbf is not None:
+                extra["cbf"] = np.asarray(jax.device_get(cbf))
+            fname = _stream_name(path, g, S * nc)
+            np.savez(fname, **host, **extra)
+            files.append(fname)
+            del host
+            g += 1
     return files
 
 
@@ -374,16 +451,22 @@ def _load_selected_stream(files: List[str], shard_index: int,
     column routes them — restore never needs the global sort)."""
 
     skip = ("part", "cbf")
-    parts, cbf = [], None
+    parts, cbfs = [], []
     for f in files:
         data = np.load(f)
         sel = (data["part"].astype(np.int64) % num_shards) == shard_index
         parts.append({k: data[k][sel] for k in data.files if k not in skip})
         if "cbf" in data.files:
-            cbf = data["cbf"]
+            cbfs.append(data["cbf"])
     out = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
-    if cbf is not None:
-        out["cbf"] = cbf
+    if cbfs:
+        # one sketch per source shard (each rides its shard's first chunk);
+        # keys route to one owner, so the saturating sum is the global sketch
+        dt = cbfs[0].dtype
+        acc = np.zeros(cbfs[0].shape, np.int64)
+        for c in cbfs:
+            acc += c.astype(np.int64)
+        out["cbf"] = np.minimum(acc, np.iinfo(dt).max).astype(dt)
     return out
 
 
@@ -419,7 +502,12 @@ def _load_selected(path: str, shard_index: int,
         mfiles = sorted(_glob.glob(f"{base}.mshard-?????-of-?????.npz"))
         if mfiles:
             return _load_selected_mshards(mfiles, shard_index, num_shards)
-        sfiles = sorted(_glob.glob(f"{base}.stream-?????-of-?????.npz"))
+        # stream chunks: flat/stacked single-process sets and per-shard
+        # multi-process (mshard) sets share the routed-chunk format
+        sfiles = sorted(
+            _glob.glob(f"{base}.stream-?????-of-?????.npz")
+            + _glob.glob(f"{base}.mshard-?????-of-?????"
+                         f".stream-?????-of-?????.npz"))
         if sfiles:
             return _load_selected_stream(sfiles, shard_index, num_shards)
         raise FileNotFoundError(f"no table dump at {path} (or bundles)")
@@ -671,13 +759,35 @@ def reshard_state(state, state_template):
 # incremental
 
 
-def save_table_delta(path: str, table: ev.EmbeddingTable) -> ev.EmbeddingTable:
+def save_table_delta(path: str, table: ev.EmbeddingTable, *,
+                     streaming_chunk_rows: Optional[int] = None
+                     ) -> ev.EmbeddingTable:
     """Dump rows touched since the last (full or delta) save; clears the
-    recorder.  Returns the table with the recorder cleared."""
+    recorder.  Returns the table with the recorder cleared.  With
+    ``streaming_chunk_rows`` the touched-row walk is chunked (bounded host
+    RSS — the full key/value planes never cross the host boundary); the
+    delta loader reads both layouts transparently."""
 
     if table.touched is None:
         raise ValueError(
             f"table {table.name}: incremental save requires record_touched")
+    if streaming_chunk_rows:
+        stacked = table.keys.ndim == 2
+        S = int(table.keys.shape[0]) if stacked else 1
+        cap = int(table.keys.shape[-1])
+        cr = min(1 << (max(streaming_chunk_rows, 1).bit_length() - 1), cap)
+        nc = cap // cr
+        g = 0
+        for s in range(S):
+            _, fetch = _chunk_walker(table, cr,
+                                     shard=s if stacked else None,
+                                     touched_only=True)
+            for c in range(nc):
+                host = fetch(c)
+                np.savez(_stream_name(path, g, S * nc), **host)
+                del host
+                g += 1
+        return table.replace(touched=jnp.zeros_like(table.touched))
     shards = _table_shards(table)
     parts = []
     for t in shards:
@@ -838,7 +948,8 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
     if jax.process_count() > 1:
         return _save_checkpoint_multiprocess(
             ckpt_dir, state, step=step, shrink=shrink, tiers=tiers,
-            model_name=model_name)
+            model_name=model_name,
+            streaming_chunk_rows=streaming_chunk_rows)
     d = os.path.join(ckpt_dir, f"step_{step}")
     os.makedirs(d, exist_ok=True)
     np.savez(os.path.join(d, "dense.npz"),
@@ -850,9 +961,9 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
     try:
         for name, t in state.tables.items():
             fname = f"table_{name}.npz"
-            if streaming_chunk_rows and t.keys.ndim == 1:
-                # bounded-RSS streaming writer (TB-scale tables): host
-                # memory never holds more than ~one chunk
+            if streaming_chunk_rows:
+                # bounded-RSS streaming writer (TB-scale tables, flat or
+                # stacked): host memory never holds more than ~one chunk
                 save_table_streaming(
                     os.path.join(d, fname), t,
                     shrink_step=state.step if shrink else None,
@@ -907,7 +1018,9 @@ def save_checkpoint(ckpt_dir: str, state, *, step: Optional[int] = None,
 
 def _save_checkpoint_multiprocess(ckpt_dir: str, state, *, step: int,
                                   shrink: bool = False, tiers=None,
-                                  model_name: Optional[str] = None) -> str:
+                                  model_name: Optional[str] = None,
+                                  streaming_chunk_rows: Optional[int] = None
+                                  ) -> str:
     """Multi-controller full save: every process writes mshard files for the
     table shards whose buffers it owns (the reference's per-task sharded
     bundles, python/training/saver.py:905); process 0 writes the replicated
@@ -929,7 +1042,8 @@ def _save_checkpoint_multiprocess(ckpt_dir: str, state, *, step: int,
         local_shards = _addressable_table_shards(t)
         for s, local in local_shards.items():
             _save_table_mshard(os.path.join(d, fname), local, s, num_saved,
-                               shrink_step=state.step if shrink else None)
+                               shrink_step=state.step if shrink else None,
+                               streaming_chunk_rows=streaming_chunk_rows)
         meta["tables"][name] = fname
     # Tier-complete: every process dumps the cold stores of the shards it
     # owns (ShardedTiers holds local shards only) as one pshard file —

@@ -456,3 +456,146 @@ def test_streaming_checkpoint_roundtrip(tmp_path):
     got, _ = tr.eval_step(restored, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_streaming_stacked_checkpoint_roundtrip(tmp_path):
+    """Round-4 bounded-RSS extension: a STACKED (sharded) table streams
+    shard-by-shard through chunk files — no shard materialized whole — and
+    the restore (incl. onto a single-device trainer) matches the
+    non-streamed checkpoint bit for bit."""
+
+    from jax.sharding import Mesh
+    from deeprec_tpu.parallel.trainer import DistributedTrainer
+
+    model = tiny_model(n_cols=2)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    dt = DistributedTrainer(model=model, mesh=mesh,
+                            sparse_optimizer=sparse.adagrad(lr=0.05),
+                            dense_tx=optax.adagrad(0.05),
+                            per_shard_capacity=2 ** 10)
+    dstate = dt.init_state(jax.random.PRNGKey(0))
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=400, seed=2)
+    it = iter(gen)
+    for _ in range(5):
+        dstate, _ = dt.train_step(dstate, next(it))
+
+    d_stream = saver.save_checkpoint(str(tmp_path / "s"), dstate,
+                                     streaming_chunk_rows=256)
+    d_mono = saver.save_checkpoint(str(tmp_path / "m"), dstate)
+
+    # stream chunk files exist and each is bounded
+    import glob
+    chunks = glob.glob(os.path.join(d_stream, "table_*.stream-*.npz"))
+    assert chunks, "stacked streaming save produced no chunk files"
+    for f in chunks:
+        data = np.load(f)
+        assert len(data["keys"]) <= 256
+        assert "part" in data.files
+
+    tables = base.make_tables(model)
+    lt = Trainer(model=model, tables=tables,
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05))
+    b = next(it)
+    r1 = saver.restore_checkpoint(d_stream, lt.init_state(jax.random.PRNGKey(1)))
+    r2 = saver.restore_checkpoint(d_mono, lt.init_state(jax.random.PRNGKey(2)))
+    got, _ = lt.eval_step(r1, b)
+    want, _ = lt.eval_step(r2, b)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    dlogits, _ = dt.eval_step(dstate, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dlogits),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_mshard_roundtrip(tmp_path):
+    """Per-shard streamed mshard files (multi-process save layout with
+    streaming_chunk_rows) load through the generic reader onto any shard
+    count, equal to the monolithic dump; CBF sketches sum across shards;
+    the per-chunk routing-invariant assertion fires on stray keys."""
+
+    from deeprec_tpu.ops import hashing
+
+    opt = cfg.EmbeddingVariableOption(
+        cbf_filter=cfg.CBFFilterOption(filter_freq=2, max_element_size=2048))
+    o = sparse.adagrad(lr=0.1)
+    rng = np.random.RandomState(3)
+    all_ids = np.unique(rng.randint(1, 10 ** 8, 900)).astype(np.int32)
+    parts = np.asarray(hashing.logical_partition(jnp.asarray(all_ids)))
+    NS = 2
+    shards = []
+    for s in range(NS):
+        t = ev.create("t", dim=8, capacity=2 ** 10, option=opt)
+        t = o.init(t)
+        ids = jnp.asarray(all_ids[parts % NS == s])
+        for step in (1, 2, 3):  # pass the CBF admission threshold
+            t, lk = ev.lookup_phase(t, ids, step=step)
+            t = o.apply(t, lk, jnp.ones((lk.uids.shape[0], 8)), step=step)
+        shards.append(t)
+
+    path = str(tmp_path / "table_t.npz")
+    for s, t in enumerate(shards):
+        saver._save_table_mshard(path, t, s, NS, streaming_chunk_rows=128)
+
+    tmpl = ev.create("t", dim=8, capacity=2 ** 10, option=opt)
+    tmpl = o.init(tmpl)
+    merged = saver.restore_table(path, tmpl)
+    assert int(merged.size) == sum(int(t.size) for t in shards)
+    for s, t in enumerate(shards):
+        ids = jnp.asarray(all_ids[parts % NS == s])
+        np.testing.assert_allclose(np.asarray(ev.lookup(merged, ids)),
+                                   np.asarray(ev.lookup(t, ids)), rtol=1e-6)
+    # CBF = saturating sum of the per-shard sketches
+    want = np.minimum(
+        sum(np.asarray(t.cbf, np.int64) for t in shards),
+        np.iinfo(np.int32).max)
+    np.testing.assert_array_equal(np.asarray(merged.cbf, np.int64), want)
+
+    # stray key (wrong shard) trips the per-chunk invariant
+    with pytest.raises(AssertionError, match="routing invariant"):
+        saver._save_table_mshard(str(tmp_path / "bad.npz"), shards[0], 1, NS,
+                                 streaming_chunk_rows=128)
+
+
+def test_streaming_delta_matches_monolithic(tmp_path):
+    """Chunked touched-row delta dump == monolithic delta dump after apply;
+    recorder cleared; every chunk bounded."""
+
+    import glob
+
+    t, ids = _filled_table(n=300)
+    full = str(tmp_path / "full.npz")
+    saver.save_table(full, t)
+    t = t.replace(touched=jnp.zeros_like(t.touched))
+
+    o = sparse.adagrad(lr=0.1)
+    sub = ids[:50]
+    t, lk = ev.lookup_phase(t, sub, step=9)
+    t = o.apply(t, lk, jnp.full((lk.uids.shape[0], t.dim), 2.0), step=9)
+    newids = jnp.asarray([10 ** 9 + 1, 10 ** 9 + 2], jnp.int32)
+    t, lk2 = ev.lookup_phase(t, newids, step=9)
+    t = o.apply(t, lk2, jnp.ones((lk2.uids.shape[0], t.dim)), step=9)
+
+    mono = str(tmp_path / "delta_mono.npz")
+    t_after_mono = saver.save_table_delta(mono, t)
+    stream = str(tmp_path / "delta_stream.npz")
+    t_after = saver.save_table_delta(stream, t, streaming_chunk_rows=256)
+    assert not bool(jnp.any(t_after.touched))
+    chunks = glob.glob(str(tmp_path / "delta_stream.stream-*.npz"))
+    assert len(chunks) == (2 ** 11) // 256
+    total = 0
+    for f in chunks:
+        d = np.load(f)
+        assert len(d["keys"]) <= 256
+        total += len(d["keys"])
+    assert total <= 60  # only touched rows dumped
+
+    base_t = saver.restore_table(full, t)
+    got = saver.apply_table_delta(
+        saver.restore_table(full, t), stream)
+    want = saver.apply_table_delta(base_t, mono)
+    probe = jnp.concatenate([ids, newids])
+    np.testing.assert_array_equal(np.asarray(ev.lookup(got, probe)),
+                                  np.asarray(ev.lookup(want, probe)))
+    np.testing.assert_array_equal(
+        np.asarray(ev.get_version(got, probe)),
+        np.asarray(ev.get_version(want, probe)))
