@@ -31,8 +31,16 @@ def build(name, force):
     from deeprec_tpu.optimizers import sparse
     from deeprec_tpu.train.loop import Trainer
 
-    model = get_model(name)
-    if name in ("din", "dien", "bst"):
+    proxy = name.endswith("_proxy")
+    model = get_model(name.removesuffix("_proxy"))
+    if proxy:
+        # the bench.py regime since round 4: published Kaggle cardinalities
+        # + Zipf skew — many more unique scatter destinations than the 1M
+        # uniform generator (the regime XLA scatter degraded in at r2d)
+        from deeprec_tpu.data.criteo_proxy import CriteoKaggleProxy
+
+        gen = CriteoKaggleProxy(batch_size=2048, seed=1)
+    elif name in ("din", "dien", "bst"):
         specs = {n: dataclasses.replace(s, seq_len=50)
                  for n, s in model.table_specs.items()}
         model = dataclasses.replace(model, table_specs=specs)

@@ -160,6 +160,110 @@ class CriteoKaggleProxy:
                 done += n
 
 
+# ---------------------------------------------------------------------------
+# device-side generation — convergence runs at engine speed
+#
+# Through the dev tunnel host->device transfer caps a training run at
+# ~15 MB/s (~57k ex/s at this schema; PERF.md input-pipeline table), an
+# environment bound, not a pipeline bound.  The proxy's ground truth is
+# purely hash-based, so the whole generator jits: per-id latent effects are
+# BIT-IDENTICAL to the host path (same mix32 lattice), meaning a model
+# trained on device batches evaluates correctly on the host proxy's
+# held-out stream.  Only the Zipf rank quantizes through f32 exp instead of
+# f64 power — popularity shape preserved, tail ranks ±1.
+
+
+def _mix32_jnp(x, salt: int):
+    import jax.numpy as jnp
+
+    x = x.astype(jnp.uint32) ^ jnp.uint32((salt * 0x9E3779B9 + 1)
+                                          & 0xFFFFFFFF)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _latent_weight_jnp(ids, salt: int, scale: float):
+    import jax.numpy as jnp
+
+    acc = jnp.zeros(ids.shape, jnp.float32)
+    for i in range(4):
+        acc += (_mix32_jnp(ids, salt * 17 + i).astype(jnp.float32)
+                / jnp.float32(2 ** 32))
+    return (acc - 2.0) * jnp.float32(scale * 1.732)
+
+
+@dataclasses.dataclass
+class DeviceCriteoProxy:
+    """CriteoKaggleProxy batches generated ON DEVICE inside one jit —
+    identical schema, cardinalities, skew, CTR and (bit-identical) per-id
+    latent ground truth as the host class, yielding already-device-resident
+    batches so training is never input-bound.  The calibrated intercept is
+    reused from the host path (it depends only on the distribution)."""
+
+    batch_size: int = 2048
+    signal_scale: float = 0.56
+    dense_scale: float = 0.30
+    seed: int = 0
+    steps: Optional[int] = None
+
+    def __post_init__(self):
+        import jax
+
+        self._alpha = CriteoKaggleProxy(
+            batch_size=64, signal_scale=self.signal_scale,
+            dense_scale=self.dense_scale, seed=self.seed)._alpha
+        self._batch = jax.jit(self._make_batch)
+
+    def _make_batch(self, key):
+        import jax
+        import jax.numpy as jnp
+
+        b = self.batch_size
+        ks = jax.random.split(key, 5)
+        raw = jnp.exp(jax.random.normal(ks[0], (b, 13)) * 1.4 + 1.0)
+        miss_d = jax.random.uniform(ks[1], (b, 13)) < DENSE_MISSING
+        slope = _latent_weight_jnp(jnp.arange(13, dtype=jnp.uint32), 4242,
+                                   self.dense_scale)
+        # (the label ties to the pre-missing raw value, exactly like the
+        # host path — missingness is label-independent noise)
+        logit = ((jnp.log1p(raw) - 1.9) @ slope
+                 * jnp.float32(1.0 / np.sqrt(13)))
+        u = jax.random.uniform(ks[2], (b, 26))
+        miss = jax.random.uniform(ks[3], (b, 26)) < CAT_MISSING
+        cat = {}
+        for ci, col in enumerate(base.CATEGORICAL_COLUMNS):
+            card = KAGGLE_CARDINALITIES[ci]
+            rank = jnp.clip(
+                jnp.floor(jnp.exp(u[:, ci] * jnp.float32(np.log(card)))),
+                1, card) - 1
+            ids = (_mix32_jnp(rank.astype(jnp.uint32), 101 + ci)
+                   % jnp.uint32(card)).astype(jnp.int32)
+            ids = jnp.where(miss[:, ci], jnp.int32(0), ids)
+            w = self.signal_scale * (1.5 / np.sqrt(np.log2(card) + 1))
+            logit = logit + _latent_weight_jnp(ids * 31 + ci, ci + 7, w)
+            cat[col] = ids
+        logit = logit + jnp.float32(self._alpha)
+        p = 1.0 / (1.0 + jnp.exp(-logit))
+        label = (jax.random.uniform(ks[4], (b,)) < p).astype(jnp.float32)
+        return {"dense": jnp.log1p(jnp.where(miss_d, 0.0, raw)
+                                   ).astype(jnp.float32),
+                "cat": cat, "label": label, "_true_logit": logit}
+
+    def __iter__(self) -> Iterator[Dict]:
+        import jax
+
+        key = jax.random.PRNGKey(self.seed)
+        n = 0
+        while self.steps is None or n < self.steps:
+            key, sub = jax.random.split(key)
+            yield self._batch(sub)
+            n += 1
+
+
 def bayes_auc(proxy: CriteoKaggleProxy, n_batches: int = 20) -> float:
     """AUC of the ground-truth scorer — the proxy's Bayes ceiling."""
 

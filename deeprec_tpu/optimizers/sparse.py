@@ -318,6 +318,23 @@ def _pow2ceil(x: int) -> int:
 # Update rules.  All operate on [U, D] f32 rows; ctx carries hyperparams.
 
 
+def with_lr_schedule(opt: SparseOptimizer,
+                     schedule: Callable) -> SparseOptimizer:
+    """Wrap a sparse optimizer so its learning rate is ``schedule(step)``,
+    evaluated INSIDE the jitted update rule — no retrace per step (the
+    reference composes tf.train.exponential_decay etc. with its EV
+    optimizers; this is that capability on the sparse path)."""
+
+    base_update = opt.update
+
+    def update(p, slots, g, ctx):
+        ctx = dict(ctx)
+        ctx["lr"] = schedule(ctx["step"])
+        return base_update(p, slots, g, ctx)
+
+    return dataclasses.replace(opt, name=f"{opt.name}_sched", update=update)
+
+
 def _adagrad_update(p, s, g, ctx):
     # KvSparseApplyAdagrad: a += g^2; v -= lr * g * rsqrt(a)
     # (training_ali_ops.cc:143-160)

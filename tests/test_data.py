@@ -225,3 +225,44 @@ def test_criteo_proxy_tsv_roundtrip(tmp_path):
     assert set(b["cat"]) == set(
         f"C{i}" for i in range(1, 27))
     assert 0.1 < np.concatenate([x["label"] for x in batches]).mean() < 0.4
+
+
+def test_device_proxy_matches_host_distribution():
+    """DeviceCriteoProxy (on-device jit generation): bit-identical latent
+    ground truth to the host path, same CTR/cardinality envelope, and the
+    ground-truth scorer's AUC stays at the calibrated Bayes ceiling —
+    i.e. a model trained on device batches is scored fairly by the host
+    proxy's held-out stream."""
+
+    import jax.numpy as jnp
+    from deeprec_tpu.data import criteo_proxy as cp
+    from deeprec_tpu.data.synthetic import _latent_weight, auc_numpy
+
+    # 1) latent-effect parity: jnp path == numpy path for arbitrary ids
+    ids = np.random.RandomState(0).randint(-2 ** 31, 2 ** 31 - 1,
+                                           2048).astype(np.int32)
+    for salt, scale in ((7, 0.5), (33, 1.25)):
+        want = _latent_weight(ids.astype(np.int64) & 0xFFFFFFFF, salt, scale)
+        got = np.asarray(cp._latent_weight_jnp(jnp.asarray(ids), salt, scale))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    gen = cp.DeviceCriteoProxy(batch_size=4096, seed=3)
+    it = iter(gen)
+    labels, logits = [], []
+    for _ in range(8):
+        b = next(it)
+        for ci, (col, card) in enumerate(
+                zip([f"C{i}" for i in range(1, 27)],
+                    cp.KAGGLE_CARDINALITIES)):
+            ids = np.asarray(b["cat"][col])
+            assert ids.min() >= 0 and ids.max() < card
+        labels.append(np.asarray(b["label"]))
+        logits.append(np.asarray(b["_true_logit"]))
+    labels = np.concatenate(labels)
+    logits = np.concatenate(logits)
+    # 2) CTR calibration carried over from the host intercept
+    assert abs(labels.mean() - cp.CTR) < 0.02
+    # 3) ground-truth scorer stays at the Bayes ceiling
+    auc = auc_numpy(logits, labels)
+    host_bayes = cp.bayes_auc(cp.CriteoKaggleProxy(batch_size=4096), 8)
+    assert abs(auc - host_bayes) < 0.02

@@ -316,3 +316,31 @@ def test_compact_apply_zero_batch_free():
     np.testing.assert_array_equal(np.asarray(t1.values), np.asarray(t2.values))
     np.testing.assert_array_equal(np.asarray(t1.versions),
                                   np.asarray(t2.versions))
+
+
+def test_with_lr_schedule_matches_manual():
+    """with_lr_schedule(opt, f): lr becomes f(step) inside the jitted rule —
+    step-0 matches the base optimizer at f(0), a later step matches a base
+    optimizer constructed with lr=f(step)."""
+
+    import jax.numpy as jnp
+    from deeprec_tpu import config as cfg
+
+    def sched(step):
+        return 0.2 * jnp.power(0.5, step.astype(jnp.float32) / 10.0)
+
+    def run(opt, step):
+        t = ev.create("t", dim=4, capacity=256,
+                      option=cfg.EmbeddingVariableOption())
+        t = opt.init(t)
+        ids = jnp.asarray([5, 9, 5], jnp.int32)
+        t, lk = ev.lookup_phase(t, ids, step=step)
+        g = jnp.full((3, 4), 0.5)
+        t = opt.apply(t, lk, g, step=step)
+        return np.asarray(ev.lookup(t, ids))
+
+    sopt = sparse.with_lr_schedule(sparse.adagrad(lr=123.0), sched)
+    np.testing.assert_allclose(run(sopt, 0), run(sparse.adagrad(lr=0.2), 0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(run(sopt, 20),
+                               run(sparse.adagrad(lr=0.05), 20), rtol=1e-6)
