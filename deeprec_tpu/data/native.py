@@ -24,10 +24,22 @@ _SRC_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _SOURCES = ("criteo_parser.cc", "host_kv.cc")
 
 
+def sanitize_flags() -> list:
+    """Extra g++ flags from DEEPREC_TPU_SANITIZE=thread|address — the
+    TSAN/ASAN CI hook (cibuild/sanitize.sh; SURVEY §5: 'the C++ host tier
+    cache needs TSAN CI').  Point DEEPREC_TPU_CACHE at a sanitizer-specific
+    dir so instrumented and production builds never collide."""
+
+    san = os.environ.get("DEEPREC_TPU_SANITIZE", "")
+    if not san:
+        return []
+    return [f"-fsanitize={san}", "-O1", "-g", "-fno-omit-frame-pointer"]
+
+
 def _build(srcs, out: Path) -> None:
     out.parent.mkdir(parents=True, exist_ok=True)
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-           "-o", str(out)] + [str(s) for s in srcs]
+           *sanitize_flags(), "-o", str(out)] + [str(s) for s in srcs]
     subprocess.run(cmd, check=True, capture_output=True)
 
 

@@ -25,13 +25,15 @@ bf16 components (2 terms ~ 1e-5 relative, bounded by the cumsum-diff f32
 error, comparable to any large-batch summation order).
 
 STATUS (v5e, honest interleaved readback-slope timing — PERF.md "Segment
-scatter" + "Stream kernel"): production dispatch is **stream** at
-n >= 32k TPU f32 (DIN step 28.1 -> 14.4 ms cumulative; DLRM 5.97 ->
-3.67 ms) and the XLA scatter below — the ``chunked`` (dedup + compact
-``.set`` chunks, the intermediate design that first beat XLA) and
-``kernel`` (windowed dedup'd one-hot, exact with BIN == OUTER)
-strategies remain reachable via ``_force`` with parity tests, as
-measured alternates.  Measurement traps documented the hard way:
+scatter" + "Stream kernel" + round-4 re-verdict): production dispatch is
+**xla** — the backend caught up (round 3c/4: XLA ties or wins in-step at
+every model shape incl. the Kaggle-proxy distribution), and the stream
+kernel's round-2d win (DIN 19.6 -> 14.4 ms/step) no longer reproduces.
+The ``stream`` (sorted-duplicates DMA + one-hot MXU placement),
+``chunked`` (dedup + compact ``.set`` chunks) and ``kernel`` (windowed
+dedup'd one-hot, exact with BIN == OUTER) strategies remain reachable via
+``_force`` with parity tests, as measured alternates if a backend bump
+re-inverts the trade.  Measurement traps documented the hard way:
 (1) micro-benchmarks with few unique destinations (zipf-clipped ids)
 understate XLA scatter cost ~10x; (2) strategy A/Bs run in separate
 processes on this shared box drown in ±45% noise — only interleaved
@@ -345,25 +347,23 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
 
     n, d = rows.shape
     cap = int(cap)
-    # Dispatch, measured on v5e with REAL model id distributions (209k
-    # positions -> ~65k unique slots for DIN at batch 2048): the XLA
-    # scatter-add costs ~105-140 ns per source row once destinations spill
-    # the cache (28.5 ms isolated at DIN shapes), so at sequence-model id
-    # volumes the dedup paths win big.  Earlier micro-benchmarks with ~1k
-    # unique destinations (cache-resident) understated the XLA cost 10x —
-    # always benchmark scatter with production-like UNIQUE counts.
-    # In-step interleaved crossovers (v5e): the stream kernel wins at BOTH
-    # model-zoo id volumes — DLRM 53k ids: 5.97 -> 3.67 ms/step; DIN 209k:
-    # 19.60 -> 14.40.  Below ~32k ids the sort+aug fixed cost is unproven,
-    # so smaller batches keep the XLA scatter.
-    strategy = _force
-    if strategy is None:
-        on_tpu = jax.default_backend() == "tpu"
-        if (on_tpu and rows.dtype in (jnp.float32, jnp.bfloat16)
-                and d < 128 and n >= 32768):
-            strategy = "stream"
-        else:
-            strategy = "xla"
+    # Dispatch history (all interleaved in-step A/Bs on v5e, PERF.md):
+    # round 2d's backend made the XLA scatter ~105-140 ns/source-row at
+    # production unique-destination counts and the stream kernel won big
+    # (DIN 19.6 -> 14.4 ms/step).  Round 3c re-baselined: the isolated gap
+    # INVERTED (xla 2.66 vs stream 3.69 ms) and in-step they tied.  Round 4
+    # re-verdict (benchmarks/scatter_instep_ab.py at din / dlrm /
+    # dlrm-on-the-Kaggle-proxy / dien): xla ties or wins at EVERY shape
+    # (din 12.915 vs 12.908, dlrm 3.18/3.18, proxy 3.195/3.196, dien
+    # 14.82/14.85 ms/step) — XLA's in-program scatter overlaps neighboring
+    # ops and the stream prep (sort + permute) costs exactly its isolated
+    # advantage.  Default is therefore **xla**; the stream/chunked/kernel
+    # strategies stay reachable via ``_force`` (parity-tested) as measured
+    # alternates in case a backend bump re-inverts the trade.
+    # Measurement trap that created the round-2 picture: benchmarks with
+    # few unique destinations (cache-resident) understate XLA scatter cost
+    # ~10x — always benchmark with production-like UNIQUE counts.
+    strategy = _force or "xla"
     # Accumulation is ALWAYS f32-exact for bf16 inputs: the stream kernel
     # accumulates bf16 operands in the MXU's f32 accumulator; every other
     # strategy upcasts first.  (A raw bf16 .at[].add would round per

@@ -35,7 +35,9 @@ def build_library() -> str:
     inc = sysconfig.get_path("include")
     libdir = sysconfig.get_config_var("LIBDIR") or "/usr/local/lib"
     ver = sysconfig.get_config_var("LDVERSION") or "3.12"
-    cmd = ["g++", "-O2", "-shared", "-fPIC", str(_SRC),
+    from deeprec_tpu.data.native import sanitize_flags
+
+    cmd = ["g++", "-O2", "-shared", "-fPIC", *sanitize_flags(), str(_SRC),
            f"-I{inc}", f"-L{libdir}", f"-lpython{ver}",
            f"-Wl,-rpath,{libdir}", "-o", str(out)]
     subprocess.run(cmd, check=True, capture_output=True)

@@ -226,10 +226,12 @@ def test_bf16_non_stream_paths_upcast():
 
 
 def test_default_dispatch_routes(monkeypatch):
-    """Production dispatch contract: TPU + f32 + n >= 32k + big-enough
-    capacity -> stream kernel; small n, small capacity, or other backends
-    -> XLA scatter.  Guards the thresholds that encode the measured
-    crossovers (PERF.md round 2d)."""
+    """Production dispatch contract (round-4 re-verdict, PERF.md): the XLA
+    scatter is the default at EVERY shape — in-step interleaved A/Bs at
+    din/dlrm/dlrm_proxy/dien show xla ties or wins since the round-3c
+    backend.  The Pallas strategies must stay _force-reachable (measured
+    alternates for a future backend bump) and must never be entered by
+    default."""
 
     routed = []
 
@@ -243,24 +245,15 @@ def test_default_dispatch_routes(monkeypatch):
 
     rows_big = jnp.ones((32768, 32), jnp.float32)
     dst_big = jnp.zeros((32768,), jnp.int32)
-    # 2^19 cap, d=32 -> OUTER=1024, nc=512 >= 64 -> stream
+    # the round-2d stream regime (TPU, f32, n >= 32k, big cap) now takes
+    # the XLA scatter by default
     segment_scatter.scatter_add_rows(dst_big, rows_big, 2 ** 19)
-    assert routed == ["stream"]
-
-    # small n -> xla (fake_stream not called)
-    segment_scatter.scatter_add_rows(dst_big[:1024], rows_big[:1024], 2 ** 19)
-    assert routed == ["stream"]
-
-    # small capacity (nc < 64) -> xla even at big n
-    segment_scatter.scatter_add_rows(dst_big, rows_big, 2 ** 14)
-    assert routed == ["stream"]
-
-    # bf16 -> stream natively since round 3c (half-traffic layout)
     segment_scatter.scatter_add_rows(
         dst_big, rows_big.astype(jnp.bfloat16), 2 ** 19)
-    assert routed == ["stream", "stream"]
+    assert routed == []
 
-    # other dtypes -> xla
-    segment_scatter.scatter_add_rows(
-        dst_big, rows_big.astype(jnp.float16), 2 ** 19)
-    assert routed == ["stream", "stream"]
+    # the alternates remain force-reachable
+    segment_scatter.scatter_add_rows(dst_big, rows_big, 2 ** 19,
+                                     _force="stream")
+    assert routed == ["stream"]
+
