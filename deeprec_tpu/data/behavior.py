@@ -32,6 +32,12 @@ class SyntheticBehavior:
     p_click_mismatch: float = 0.25
     seed: int = 0
     steps: Optional[int] = None
+    # None: uniform lengths in [seq_len//2, seq_len] (the default regime).
+    # An int: SKEWED lengths — lognormal with this median, clipped to
+    # [1, seq_len] (real behavior histories are short-headed: most users
+    # have a few events, a tail has hundreds — the length-bucketing
+    # workload, data/bucketing.py).
+    median_len: Optional[int] = None
 
     def __iter__(self) -> Iterator[Dict]:
         rng = np.random.RandomState(self.seed)
@@ -53,7 +59,13 @@ class SyntheticBehavior:
         rand_cluster = rng.randint(0, self.num_clusters, size=(b, l))
         hist_cluster = np.where(in_cluster, user_cluster[:, None], rand_cluster)
         hist_item = self._item_of_cluster(rng, hist_cluster, (b, l))
-        hist_len = rng.randint(l // 2, l + 1, size=b)
+        if self.median_len is None:
+            hist_len = rng.randint(l // 2, l + 1, size=b)
+        else:
+            hist_len = np.clip(
+                np.round(np.exp(rng.randn(b) * 0.8
+                                + np.log(self.median_len))),
+                1, l).astype(np.int64)
         # pad tail positions with the EMPTY sentinel (int32 min)
         pad = np.arange(l)[None, :] >= hist_len[:, None]
         EMPTY = np.int32(np.iinfo(np.int32).min)
