@@ -162,12 +162,16 @@ if __name__ == "__main__":
     ap.add_argument("--models", default="wdl,dlrm")
     ap.add_argument("--sweep", default="",
                     help="model name: run the LR/schedule sweep for it")
+    ap.add_argument("--config", type=int, default=-1,
+                    help="run only SWEEP[i] (one process per config is hang-"
+                         "isolated on the dev tunnel — see verify skill)")
     ap.add_argument("--host_data", action="store_true")
     args = ap.parse_args()
     proxy_ceiling = bayes_auc(CriteoKaggleProxy(batch_size=4096), 10)
     print(f"proxy bayes ceiling ~ {proxy_ceiling:.4f}", flush=True)
     if args.sweep:
-        for cfg_kw in SWEEP:
+        cfgs = (SWEEP if args.config < 0 else [SWEEP[args.config]])
+        for cfg_kw in cfgs:
             run(args.sweep, batch=2048, host_data=args.host_data, **cfg_kw)
     else:
         for m in args.models.split(","):
