@@ -180,7 +180,7 @@ def main():
     b = next(gen)
     t0 = time.perf_counter()
     payloads = trt.prepare_payloads(b, erase=False)
-    st2 = trt._apply_payloads(st, payloads)
+    st2 = trt._apply_payloads(st, [payloads] if payloads else [])
     jax.block_until_ready(jax.tree.leaves(st2.tables)[0])
     out["tier_prepare_promote_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
     n0 = next(iter(trt.tiers))
