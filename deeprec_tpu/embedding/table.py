@@ -654,6 +654,11 @@ def chunked_masked_row_set(arr: jnp.ndarray, mask: jnp.ndarray,
     return arr
 
 
+# Benchmark hook (read at TRACE time): force the admitted-select in
+# _collect even when it is a provable no-op, for interleaved A/Bs.
+_FORCE_COLLECT_SELECT = False
+
+
 def _collect(table: EmbeddingTable, lk: Lookup) -> jnp.ndarray:
     """Gather this batch's embedding rows [N, D] (one per position).
 
@@ -665,7 +670,19 @@ def _collect(table: EmbeddingTable, lk: Lookup) -> jnp.ndarray:
     """
 
     vals = table.values.at[lk.slot_ids].get(mode="fill", fill_value=0)
-    dvnp = jnp.asarray(table.option.default_value_no_permission, table.value_dtype)
+    opt = table.option
+    if not _FORCE_COLLECT_SELECT \
+            and (opt.counter_filter is None
+                 or opt.counter_filter.filter_freq <= 0) \
+            and float(opt.default_value_no_permission) == 0.0:
+        # No counter filter => admitted == found, and both not-found and
+        # padding positions already read 0 == default_value_no_permission
+        # through the gather's fill value — the select is a provable no-op.
+        # Skipping it drops a full [N, D] elementwise pass in the forward
+        # AND its mirror select in the backward (measured ~1 ms each way at
+        # DIN's 209k positions; q8/q9 round-4 ablation).
+        return vals
+    dvnp = jnp.asarray(opt.default_value_no_permission, table.value_dtype)
     return jnp.where(lk.admitted[:, None], vals, dvnp)
 
 

@@ -270,3 +270,52 @@ def test_hot_path_has_no_cond_over_table_buffers():
     assert not big, (
         "lax.cond over table-sized buffers reintroduced on the hot path: "
         f"{big}")
+
+def test_collect_skips_select_without_filter():
+    """Round-4 fast path: with no counter filter and
+    default_value_no_permission == 0 the admitted-select in collect is a
+    provable no-op and must be ABSENT from the jaxpr (it costs a full
+    [N, D] pass forward + a mirror select backward — ~1 ms each at DIN's
+    209k positions).  With a counter filter the select must remain."""
+
+    import jax
+
+    def n_selects(fn, *args):
+        jaxpr = jax.make_jaxpr(fn)(*args)
+
+        def walk(jxp, out):
+            for eqn in jxp.eqns:
+                if eqn.primitive.name == "select_n" and any(
+                        hasattr(v, "aval") and v.aval.ndim == 2
+                        for v in eqn.invars):
+                    out.append(eqn)
+                for p in eqn.params.values():
+                    vals = p if isinstance(p, (tuple, list)) else [p]
+                    for v in vals:
+                        if hasattr(v, "jaxpr"):
+                            walk(v.jaxpr, out)
+            return out
+        return len(walk(jaxpr.jaxpr, []))
+
+    ids = jnp.arange(64, dtype=jnp.int32)
+
+    plain = ev.create("sel_plain", dim=8, capacity=1024)
+    assert n_selects(lambda t: ev._collect(
+        *ev._lookup_phase(t, ids, train=True)), plain) == 0
+
+    filt = ev.create(
+        "sel_filt", dim=8, capacity=1024,
+        option=cfg.EmbeddingVariableOption(
+            counter_filter=cfg.CounterFilterOption(filter_freq=2)))
+    assert n_selects(lambda t: ev._collect(
+        *ev._lookup_phase(t, ids, train=True)), filt) >= 1
+
+    # numeric parity: forced select == fast path where both are defined
+    t2, lk = ev._lookup_phase(plain, ids, train=True)
+    fast = ev._collect(t2, lk)
+    ev._FORCE_COLLECT_SELECT = True
+    try:
+        slow = ev._collect(t2, lk)
+    finally:
+        ev._FORCE_COLLECT_SELECT = False
+    assert bool(jnp.all(fast == slow))
