@@ -21,6 +21,8 @@ import numpy as np
 
 
 def build(name, force):
+    """``name`` may carry a batch-size suffix: "dlrm@16384"."""
+
     import jax
     import optax
 
@@ -31,6 +33,8 @@ def build(name, force):
     from deeprec_tpu.optimizers import sparse
     from deeprec_tpu.train.loop import Trainer
 
+    name, _, bs = name.partition("@")
+    batch = int(bs) if bs else 2048
     proxy = name.endswith("_proxy")
     model = get_model(name.removesuffix("_proxy"))
     if proxy:
@@ -39,15 +43,15 @@ def build(name, force):
         # uniform generator (the regime XLA scatter degraded in at r2d)
         from deeprec_tpu.data.criteo_proxy import CriteoKaggleProxy
 
-        gen = CriteoKaggleProxy(batch_size=2048, seed=1)
+        gen = CriteoKaggleProxy(batch_size=batch, seed=1)
     elif name in ("din", "dien", "bst"):
         specs = {n: dataclasses.replace(s, seq_len=50)
                  for n, s in model.table_specs.items()}
         model = dataclasses.replace(model, table_specs=specs)
-        gen = SyntheticBehavior(batch_size=2048, num_items=200_000,
+        gen = SyntheticBehavior(batch_size=batch, num_items=200_000,
                                 num_categories=1000, seq_len=50, seed=1)
     else:
-        gen = SyntheticCriteo(batch_size=2048, num_ids_per_col=1_000_000,
+        gen = SyntheticCriteo(batch_size=batch, num_ids_per_col=1_000_000,
                               seed=1)
     tables = base.make_tables(model)
     tr = Trainer(model=model, tables=tables,

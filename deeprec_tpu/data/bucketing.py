@@ -32,36 +32,57 @@ EMPTY = np.int32(np.iinfo(np.int32).min)
 
 
 def _seq_keys(batch: Dict) -> Tuple[str, ...]:
+    """Sequence ID columns: 2-D *integer* cat columns.  Float columns
+    riding in ``cat`` are per-position combiner weights (the serving
+    layout — serve/http_server._v2_request_to_batch), not ids: they carry
+    no EMPTY sentinel, so they must not vote on lengths."""
+
     return tuple(k for k, v in batch["cat"].items()
-                 if np.ndim(v) == 2 and v.shape[1] > 1)
+                 if np.ndim(v) == 2 and v.shape[1] > 1
+                 and np.issubdtype(np.asarray(v).dtype, np.integer))
 
 
 def _lengths(batch: Dict, seq_keys: Sequence[str]) -> np.ndarray:
-    """Per-sample history length = max over sequence columns of the count
-    of non-EMPTY positions (prefix-padded layout)."""
+    """Per-sample history length = max over sequence columns of
+    1 + the LAST non-EMPTY position (not the count: multivalent bags may
+    carry interior EMPTY components, and truncation must never drop a
+    live trailing id)."""
 
     ln = None
     for k in seq_keys:
         arr = np.asarray(batch["cat"][k])
-        cur = (arr != EMPTY).sum(axis=1)
+        present = arr != EMPTY
+        any_p = present.any(axis=1)
+        last = arr.shape[1] - np.argmax(present[:, ::-1], axis=1)
+        cur = np.where(any_p, last, 0)
         ln = cur if ln is None else np.maximum(ln, cur)
     return ln
 
 
 def _slice_sample_rows(batch: Dict, idx: np.ndarray, seq_keys,
-                       trunc: int) -> Dict:
-    """Rows ``idx`` of every batch column, sequence columns truncated to
-    ``trunc`` positions (the dropped tail is all-EMPTY by bucket choice)."""
+                       seq_widths, trunc: int) -> Dict:
+    """Rows ``idx`` of every batch column; sequence id columns — and any
+    per-position companion column sharing their padded width (float
+    combiner weights in ``cat`` or in the ``weights`` dict) — truncated to
+    ``trunc`` positions (the dropped tail is all-EMPTY by bucket choice,
+    so ids and weights stay position-aligned)."""
+
+    def _trunc_too(v):
+        return np.ndim(v) == 2 and v.shape[1] in seq_widths
 
     out = {}
     for key, val in batch.items():
         if key == "cat":
             out["cat"] = {
-                k: (np.asarray(v)[idx, :trunc] if k in seq_keys
+                k: (np.asarray(v)[idx, :trunc]
+                    if k in seq_keys or _trunc_too(v)
                     else np.asarray(v)[idx])
                 for k, v in val.items()}
         elif isinstance(val, dict):  # e.g. 'weights'
-            out[key] = {k: np.asarray(v)[idx] for k, v in val.items()}
+            out[key] = {
+                k: (np.asarray(v)[idx, :trunc] if _trunc_too(v)
+                    else np.asarray(v)[idx])
+                for k, v in val.items()}
         else:
             out[key] = np.asarray(val)[idx]
     return out
@@ -115,6 +136,7 @@ class LengthBucketedStream:
         counts: Dict[int, int] = {b: 0 for b in buckets}
         bs = self.batch_size
         seq_keys: Tuple[str, ...] = ()
+        seq_widths: frozenset = frozenset()
         for batch in self.it:
             if bs is None:
                 bs = len(np.asarray(batch["label"]))
@@ -124,6 +146,8 @@ class LengthBucketedStream:
                     # no sequence columns: nothing to bucket
                     yield batch
                     continue
+                seq_widths = frozenset(
+                    np.asarray(batch["cat"][k]).shape[1] for k in seq_keys)
             ln = _lengths(batch, seq_keys)
             bidx = np.searchsorted(buckets, np.minimum(ln, buckets[-1]))
             for bi, b in enumerate(buckets):
@@ -131,7 +155,7 @@ class LengthBucketedStream:
                 if not len(idx):
                     continue
                 pending[b].append(
-                    _slice_sample_rows(batch, idx, seq_keys, b))
+                    _slice_sample_rows(batch, idx, seq_keys, seq_widths, b))
                 counts[b] += len(idx)
                 while counts[b] >= bs:
                     head, rest = _concat_batches(pending[b], bs)

@@ -27,13 +27,22 @@ _SOURCES = ("criteo_parser.cc", "host_kv.cc")
 def sanitize_flags() -> list:
     """Extra g++ flags from DEEPREC_TPU_SANITIZE=thread|address — the
     TSAN/ASAN CI hook (cibuild/sanitize.sh; SURVEY §5: 'the C++ host tier
-    cache needs TSAN CI').  Point DEEPREC_TPU_CACHE at a sanitizer-specific
-    dir so instrumented and production builds never collide."""
+    cache needs TSAN CI')."""
 
     san = os.environ.get("DEEPREC_TPU_SANITIZE", "")
     if not san:
         return []
     return [f"-fsanitize={san}", "-O1", "-g", "-fno-omit-frame-pointer"]
+
+
+def sanitize_tag() -> str:
+    """Cache-key component for the sanitize mode: instrumented and
+    production builds must never share a .so (an mtime-only check would
+    silently reuse whichever was built last — the 'clean' sanitizer run
+    would then exercise uninstrumented code)."""
+
+    san = os.environ.get("DEEPREC_TPU_SANITIZE", "")
+    return f".{san}" if san else ""
 
 
 def _build(srcs, out: Path) -> None:
@@ -53,7 +62,7 @@ def lib() -> ctypes.CDLL:
         srcs = [_SRC_DIR / s for s in _SOURCES]
         cache = Path(os.environ.get(
             "DEEPREC_TPU_CACHE", os.path.expanduser("~/.cache/deeprec_tpu")))
-        out = cache / "libdeeprec_native.so"
+        out = cache / f"libdeeprec_native{sanitize_tag()}.so"
         if (not out.exists()
                 or out.stat().st_mtime < max(s.stat().st_mtime for s in srcs)):
             _build(srcs, out)

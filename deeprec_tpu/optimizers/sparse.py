@@ -98,19 +98,23 @@ APPLY_STRATEGY = "auto"
 
 def _pick_strategy(n: int, capacity: int, n_arrays: int) -> str:
     """Shape-based dense-vs-compact dispatch (measured on v5e, interleaved —
-    benchmarks/apply_compact_ab.py, PERF.md "Touched-set apply", round 4).
+    benchmarks/apply_compact_ab.py + apply_dense_ablate.py, PERF.md
+    "Touched-set apply", round 4).
 
-    The measurement went AGAINST the obvious theory: the dense-masked
+    The measurement went AGAINST the obvious theory twice: the dense-masked
     apply's full-capacity [C, D] passes are bandwidth-cheap on TPU, while
-    the compact path pays ~24 ns/row of gather+scatter ISSUE cost per state
-    array plus a sort — it lost 2.5-3.5x at every production shape
-    (dlrm@2048 3.2->11.5 ms, dlrm@16384 30.5->82.7, din@2048 12.9->26.5).
-    Dense stays the default at any batch that shares an order of magnitude
-    with the table; compact is reserved for the extreme small-batch/huge-
-    table regime where measurement shows the crossover (see the threshold
-    below, from benchmarks/apply_dense_ablate.py)."""
+    the compact path pays per-row gather+scatter ISSUE cost per state array
+    plus a sort — it lost 2.5-3.5x at every production shape (dlrm@2048
+    3.2->11.5 ms, dlrm@16384 30.5->82.7, din@2048 12.9->26.5), and the
+    round-4 small-batch/huge-table probe (dlrm batch 512 on a 2^22-cap
+    table — capacity = 8192x the batch) STILL favored dense, 4.51 vs
+    5.12 ms/step.  No measured regime flips the trade on this backend, so
+    ``auto`` is always dense; the compact path stays reachable via
+    ``strategy="compact"`` (parity-tested) for re-evaluation on a backend
+    or hardware bump."""
 
-    return "compact" if capacity >= 256 * n else "dense"
+    del n, capacity, n_arrays
+    return "dense"
 
 
 @functools.partial(
@@ -246,17 +250,23 @@ def _apply_compact(table, lk, grad, step, hyper, *, update, slot_names,
     n_pad = -(-n // K) * K
     ok = lk.valid & lk.admitted & (lk.slot_ids < c)
     dst = jnp.where(ok, lk.slot_ids, c).astype(jnp.int32)
-    grad = grad.astype(table.value_dtype)
 
     order = jnp.argsort(dst)
     sdst = dst[order]
-    sgrad = grad[order]
+    # Accumulate duplicate-position sums in f32 regardless of table dtype
+    # (a raw bf16 .at[].add rounds per PARTIAL sum — the anti-pattern
+    # segment_scatter documents; the dense path gets exact accumulation
+    # from scatter_add_rows), then downcast ONCE to the table dtype so
+    # both paths feed the update rule bit-identical aggregated gradients.
+    acc_dt = jnp.promote_types(grad.dtype, jnp.float32)
+    sgrad = grad.astype(acc_dt)[order]
     heads = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sdst[1:] != sdst[:-1]])
     seg = jnp.cumsum(heads.astype(jnp.int32)) - 1
     # Compact per-unique sums: destinations are contiguous ascending, so
     # this scatter-add stays cache-resident (unlike the dense [C, D] one).
-    g_u = jnp.zeros((n_pad, d), grad.dtype).at[seg].add(sgrad)
+    g_u = jnp.zeros((n_pad, d), acc_dt).at[seg].add(sgrad).astype(
+        table.value_dtype)
     u_dst = jnp.full((n_pad,), c, jnp.int32).at[seg].min(sdst)
     # u_dst is ascending with the pad value (c) last, masked positions
     # included (their segment's value IS c): live segment count =

@@ -28,7 +28,9 @@ def build_library() -> str:
 
     cache = Path(os.environ.get(
         "DEEPREC_TPU_CACHE", os.path.expanduser("~/.cache/deeprec_tpu")))
-    out = cache / "libdeeprec_processor.so"
+    from deeprec_tpu.data.native import sanitize_tag
+
+    out = cache / f"libdeeprec_processor{sanitize_tag()}.so"
     if out.exists() and out.stat().st_mtime >= _SRC.stat().st_mtime:
         return str(out)
     out.parent.mkdir(parents=True, exist_ok=True)

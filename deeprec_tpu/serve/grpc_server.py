@@ -111,11 +111,8 @@ class GrpcInferenceServer:
                 arr = _decode_input(t, raw)
                 if t.name == "dense":
                     dense = arr.astype(np.float32)
-                elif arr.dtype.kind == "f":
-                    # FP-typed cat inputs are combiner weights
-                    cat[t.name] = arr.astype(np.float32)
                 else:
-                    cat[t.name] = arr.astype(np.int32)
+                    cat[t.name] = _http.cast_cat(arr)
             if dense is None:
                 ctx.abort(grpc.StatusCode.INVALID_ARGUMENT,
                           "missing input tensor 'dense'")

@@ -30,7 +30,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from deeprec_tpu.serve.processor import Processor
+from deeprec_tpu.serve.processor import Processor, cast_cat
 
 
 _V2_DTYPES = {"FP32": np.float32, "FP64": np.float64,
@@ -80,11 +80,8 @@ def _v2_request_to_batch(req: dict) -> dict:
         arr = np.asarray(inp["data"], dt).reshape(inp["shape"])
         if inp["name"] == "dense":
             dense = arr.astype(np.float32)
-        elif np.dtype(dt).kind == "f":
-            # FP-typed cat inputs are combiner weights — never truncate
-            cat[inp["name"]] = arr.astype(np.float32)
         else:
-            cat[inp["name"]] = arr.astype(np.int32)
+            cat[inp["name"]] = cast_cat(arr)
     if dense is None:
         raise ValueError("missing input tensor 'dense'")
     return {"dense": dense, "cat": cat}

@@ -76,6 +76,16 @@ DEFAULT_CONFIG = {
 }
 
 
+def cast_cat(arr) -> "np.ndarray":
+    """Wire-decode dtype rule shared by every serving frame (HTTP v2, gRPC
+    v2, warmup replay): FP-typed cat inputs are per-position combiner
+    weights and stay float32 (truncating them to int would corrupt the
+    combine — ADVICE r3); integer inputs are ids and become int32."""
+
+    arr = np.asarray(arr)
+    return arr.astype(np.float32 if arr.dtype.kind == "f" else np.int32)
+
+
 class Processor:
     def __init__(self, model, config: Optional[Dict] = None,
                  table_templates: Optional[Dict] = None):
@@ -366,10 +376,7 @@ class Processor:
                 req = json.loads(line)
                 self.predict({
                     "dense": np.asarray(req["dense"], np.float32),
-                    # dtype-preserving: float columns are combiner weights
-                    "cat": {k: (lambda a: a.astype(
-                        np.float32 if a.dtype.kind == "f" else np.int32))(
-                        np.asarray(v)) for k, v in req["cat"].items()},
+                    "cat": {k: cast_cat(v) for k, v in req["cat"].items()},
                 })
 
     # -- async session-group API -------------------------------------------

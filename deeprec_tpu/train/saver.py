@@ -67,6 +67,21 @@ def _unflatten_params(template, flat: Dict[str, np.ndarray]):
 # table export / import
 
 
+def _cbf_sum(sketches) -> np.ndarray:
+    """Merge per-shard counting-Bloom sketches: keys route to one owner
+    shard, so the element-wise sum is the global count sketch; accumulate
+    in int64 and SATURATE at the counter dtype's ceiling instead of
+    wrapping (the reference's filtered-feature persistence,
+    kv_interface.h:26 -keys_filtered/-freqs_filtered)."""
+
+    sketches = list(sketches)
+    dt = sketches[0].dtype
+    acc = np.zeros(sketches[0].shape, np.int64)
+    for c in sketches:
+        acc += np.asarray(c, np.int64)
+    return np.minimum(acc, np.iinfo(dt).max).astype(dt)
+
+
 def _partition_of(keys: np.ndarray) -> np.ndarray:
     # Must match parallel.sharded.shard_of (runtime routing is partition % S).
     return np.asarray(jax.device_get(
@@ -289,15 +304,7 @@ def save_table(path: str, table: ev.EmbeddingTable, *, shrink_step=None,
                      else [parts[0][k]])
     extra = {}
     if shards[0].cbf is not None:
-        # Pre-admission CBF state (the reference's filtered-feature persistence,
-        # kv_interface.h:26 -keys_filtered/-freqs_filtered): keys route to one
-        # owner shard, so summing per-shard sketches yields the global count
-        # sketch.  Saturate at the counter dtype's ceiling instead of wrapping.
-        dt = shards[0].cbf.dtype
-        acc = np.zeros(shards[0].cbf.shape, np.int64)
-        for t in shards:
-            acc += np.asarray(jax.device_get(t.cbf), np.int64)
-        extra["cbf"] = np.minimum(acc, np.iinfo(dt).max).astype(dt)
+        extra["cbf"] = _cbf_sum(jax.device_get(t.cbf) for t in shards)
 
     keys_cat = (np.concatenate(merged["keys"]) if len(parts) > 1
                 else merged["keys"][0])
@@ -460,13 +467,8 @@ def _load_selected_stream(files: List[str], shard_index: int,
             cbfs.append(data["cbf"])
     out = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
     if cbfs:
-        # one sketch per source shard (each rides its shard's first chunk);
-        # keys route to one owner, so the saturating sum is the global sketch
-        dt = cbfs[0].dtype
-        acc = np.zeros(cbfs[0].shape, np.int64)
-        for c in cbfs:
-            acc += c.astype(np.int64)
-        out["cbf"] = np.minimum(acc, np.iinfo(dt).max).astype(dt)
+        # one sketch per source shard (each rides its shard's first chunk)
+        out["cbf"] = _cbf_sum(cbfs)
     return out
 
 
@@ -556,11 +558,7 @@ def _load_selected_mshards(files: List[str], shard_index: int,
     out = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
     cbfs = [c for _, c in loaded if c is not None]
     if cbfs:
-        dt = cbfs[0].dtype
-        acc = np.zeros(cbfs[0].shape, np.int64)
-        for c in cbfs:
-            acc += c.astype(np.int64)
-        out["cbf"] = np.minimum(acc, np.iinfo(dt).max).astype(dt)
+        out["cbf"] = _cbf_sum(cbfs)
     return out
 
 

@@ -131,3 +131,66 @@ def test_bucketed_training_parity_and_learning():
                            num_categories=40, median_len=4, seed=9)
     res = tr.evaluate(state, iter(ev), 8)
     assert res["auc"] > 0.6, res
+
+def _mini_seq_batch(B=8, L=6):
+    rng = np.random.RandomState(0)
+    hist = rng.randint(0, 50, size=(B, L)).astype(np.int32)
+    lens = np.array([1, 2, 2, 3, 5, 6, 6, 4])
+    for i, ln in enumerate(lens):
+        hist[i, ln:] = EMPTY
+    return {
+        "label": np.zeros((B,), np.float32),
+        "dense": np.zeros((B, 1), np.float32),
+        "cat": {"item": rng.randint(0, 9, size=(B,)).astype(np.int32),
+                "hist_item": hist,
+                "hist_w": rng.rand(B, L).astype(np.float32)},
+        "weights": {"hw2": rng.rand(B, L).astype(np.float32)},
+    }, lens
+
+
+def test_weight_columns_truncate_with_their_ids():
+    """Round-4 review fix: per-position combiner weights (float columns in
+    'cat' or in the 'weights' dict, same padded width as the ids) must be
+    (a) excluded from length voting and (b) truncated alongside the id
+    column, keeping positions aligned."""
+
+    batch, lens = _mini_seq_batch()
+    out = _take(iter(LengthBucketedStream(
+        iter([batch] * 12), buckets=(2, 6), batch_size=4,
+        drop_remainder=False)), 6)
+    assert out, "stream emitted nothing"
+    for b in out:
+        w_id = np.asarray(b["cat"]["hist_item"]).shape[1]
+        assert b["cat"]["hist_w"].shape[1] == w_id
+        assert b["weights"]["hw2"].shape[1] == w_id
+        assert w_id in (2, 6)
+    # float column did not pin lengths: the short samples landed in bucket 2
+    assert any(np.asarray(b["cat"]["hist_item"]).shape[1] == 2 for b in out)
+
+
+def test_interior_empty_keeps_trailing_ids():
+    """_lengths must use 1 + last-non-EMPTY, not the count: a multivalent
+    bag [5, EMPTY, 7] is length 3, and truncating it to a 2-bucket would
+    drop the live trailing id."""
+
+    arr = np.full((3, 4), EMPTY, np.int32)
+    arr[0, :2] = [5, 6]          # plain prefix -> 2
+    arr[1, 0] = 5
+    arr[1, 2] = 7                # interior EMPTY -> 3, not 2
+    # arr[2] all EMPTY -> 0
+    batch = {"label": np.zeros((3,), np.float32),
+             "dense": np.zeros((3, 1), np.float32),
+             "cat": {"hist_item": arr}}
+    ln = _lengths(batch, ("hist_item",))
+    np.testing.assert_array_equal(ln, [2, 3, 0])
+    out = _take(iter(LengthBucketedStream(
+        iter([batch] * 4), buckets=(2, 4), batch_size=2,
+        drop_remainder=False)), 8)
+    for b in out:
+        h = np.asarray(b["cat"]["hist_item"])
+        # no live id was dropped: every emitted row's ids appear intact
+        for row in h:
+            live = row[row != EMPTY]
+            assert live.size in (0, 1, 2)
+            if live.size == 2 and h.shape[1] == 4:
+                np.testing.assert_array_equal(live, [5, 7])
