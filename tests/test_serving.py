@@ -582,3 +582,45 @@ def test_weighted_column_serving(tmp_path):
     logit2 = np.log(s2 / (1 - s2))
     np.testing.assert_allclose(logit2, 2.0 * logit1, rtol=1e-3, atol=1e-5)
     p.shutdown()
+
+def test_predict_accepts_truncated_sequence_widths(tmp_path):
+    """Ragged serving (round 4): a client may send behavior histories at
+    their NATIVE width (e.g. [B, 5] instead of the model's padded [B, 16])
+    — the engine derives sequence length from array shapes and EMPTY
+    masks, so scores are bit-identical to the padded request and each
+    width compiles once via jit's shape cache (the serving twin of
+    data/bucketing.py's training-side length buckets)."""
+
+    import dataclasses
+
+    from deeprec_tpu.data.behavior import SyntheticBehavior
+    from deeprec_tpu.models import get_model
+
+    model = get_model("din")
+    specs = {n: dataclasses.replace(s, seq_len=16)
+             for n, s in model.table_specs.items()}
+    model = dataclasses.replace(model, table_specs=specs)
+    gen = SyntheticBehavior(batch_size=64, seq_len=16, num_items=2000,
+                            num_categories=50, seed=1)
+    tr = Trainer(model=model, tables=base.make_tables(model),
+                 sparse_optimizer=sparse.adagrad(0.05),
+                 dense_tx=optax.adagrad(0.05))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state = tr.fit(state, iter(gen), steps=15)
+    saver.save_checkpoint(str(tmp_path), state)
+
+    p = Processor(model, {"session_num": 1, "bucket_sizes": [64],
+                          "warmup": False})
+    p.initialize(str(tmp_path))
+    rng = np.random.RandomState(3)
+    b = gen.sample(rng)
+    EMPTY = np.int32(np.iinfo(np.int32).min)
+    for k in ("hist_item", "hist_category"):
+        b["cat"][k][:, 5:] = EMPTY
+    full = p.predict({"dense": b["dense"], "cat": b["cat"]})
+    cat5 = dict(b["cat"])
+    for k in ("hist_item", "hist_category"):
+        cat5[k] = b["cat"][k][:, :5]
+    short = p.predict({"dense": b["dense"], "cat": cat5})
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(short))
+    p.shutdown()
