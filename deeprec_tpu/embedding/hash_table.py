@@ -24,6 +24,7 @@ import dataclasses
 import math
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -192,8 +193,10 @@ class HashTable:
         _, lk = ev.lookup_phase(self._t, jnp.asarray(keys).reshape(-1),
                                 train=False)
         rows = ev.collect(self._t, lk)
-        found = lk.slot_ids < self._t.capacity
-        return jnp.where(found[:, None], rows,
+        # un-admitted keys are "missing" to the caller exactly like absent
+        # ones: both read the caller's default, not the table's dvnp
+        # (round-4 review — the docstring promised this)
+        return jnp.where(lk.admitted[:, None], rows,
                          jnp.asarray(default, rows.dtype))
 
     def insert(self, keys, values) -> "HashTable":
@@ -242,10 +245,18 @@ class HashTable:
         HashFilter hook cadence, hash_filter.py:66)."""
 
         t = self._t
+        changed = False
         for f in self.filters:
             if f.should_run(int(step)):
-                t = ev._apply_evict(t, f.mask(t, step))
-        if t is self._t:
+                m = f.mask(t, step)
+                # a due filter that evicts nothing must not pay the
+                # full same-capacity rebuild (shrink() does the same
+                # count-gate, table.py)
+                if int(jax.device_get(jnp.sum(m))) == 0:
+                    continue
+                t = ev._apply_evict(t, m)
+                changed = True
+        if not changed:
             return self
         # heal probe chains after deletion (no tombstones by design)
         return self._wrap(ev._rebuild(t, t.capacity))

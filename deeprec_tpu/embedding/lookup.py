@@ -109,7 +109,11 @@ def combine(
         denom = jnp.sqrt(jnp.sum(w * w, axis=1, keepdims=True))
     else:
         raise ValueError(f"unknown combiner {combiner}")
-    return out / jnp.maximum(denom, jnp.ones((), emb.dtype))
+    # Divide by the TRUE weight sum (embedding_lookup_sparse semantics) —
+    # clamping the denominator to 1 would silently shrink activations
+    # whenever an example's combiner weights sum below 1 (round-4 review).
+    # Only the all-padding / all-zero-weight case maps to zeros.
+    return jnp.where(denom > 0, out / jnp.where(denom > 0, denom, 1), 0)
 
 
 def sequence_embedding(

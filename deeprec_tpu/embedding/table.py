@@ -427,14 +427,20 @@ def _cbf_probe(cbf: jnp.ndarray, ids: jnp.ndarray, k: int) -> jnp.ndarray:
 def _cbf_add(cbf: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
              valid: jnp.ndarray, k: int) -> jnp.ndarray:
     m = cbf.shape[0]
-    cap = int(jnp.iinfo(cbf.dtype).max)
-    safe_counts = jnp.where(valid, counts, 0).astype(cbf.dtype)
+    dt = cbf.dtype
+    cap = jnp.asarray(jnp.iinfo(dt).max, jnp.int32)
+    safe_counts = jnp.where(valid, counts, 0).astype(jnp.int32)
+    # Accumulate in int32 and clamp BEFORE casting back: a narrow-dtype
+    # scatter-add wraps, and a wrapped-value-still-above-prior result (an
+    # int8 counter gaining +300 in one batch) slips past any post-hoc
+    # "went down" check (round-4 review) — hot ids would then read a tiny
+    # count and be refused admission.
+    wide = cbf.astype(jnp.int32)
     for i in range(k):
         pos = hashing.bucket(ids, m, salt=101 + i)
-        upd = cbf.at[jnp.where(valid, pos, m)].add(safe_counts, mode="drop")
-        # saturate instead of wrapping (narrow counter dtypes)
-        cbf = jnp.where(upd < cbf, jnp.asarray(cap, cbf.dtype), upd)
-    return cbf
+        wide = wide.at[jnp.where(valid, pos, m)].add(safe_counts,
+                                                     mode="drop")
+    return jnp.minimum(wide, cap).astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -546,7 +552,7 @@ def _lookup_phase(
             return i * K < n_inserted
 
         def ins_chunk_body(carry):
-            i, values, slot_arrays, versions = carry
+            i, values, slot_arrays, versions, touched = carry
             lo = i * K
             in_chunk = inserted & (rank >= lo) & (rank < lo + K)
             # compact: position index of each chunk member, K-padded
@@ -574,11 +580,18 @@ def _lookup_phase(
                     jnp.asarray(sinit, table.value_dtype), mode="drop")
             if versions is not None:
                 versions = versions.at[chunk_slot].set(step, mode="drop")
-            return i + 1, values, slot_arrays, versions
+            # Incremental-checkpoint correctness: an inserted key must land
+            # in the delta even if it never receives an (admitted) gradient
+            # — otherwise full+delta restore loses the key and its
+            # admission progress (round-4 review; IndicesIncrRecorder
+            # records inserts too, incr_save_restore_ops.h:347).
+            if touched is not None:
+                touched = touched.at[chunk_slot].set(True, mode="drop")
+            return i + 1, values, slot_arrays, versions, touched
 
-        _, values, slot_arrays, versions = jax.lax.while_loop(
+        _, values, slot_arrays, versions, touched = jax.lax.while_loop(
             ins_chunk_cond, ins_chunk_body,
-            (jnp.int32(0), values, dict(table.slots), versions))
+            (jnp.int32(0), values, dict(table.slots), versions, touched))
         size = size + n_inserted
         growth_hint = growth_hint + n_failed
 
@@ -739,8 +752,12 @@ def _rebuild_impl(table: EmbeddingTable, new_capacity: int) -> EmbeddingTable:
         freqs=move(table.freqs) if table.freqs is not None else None,
         versions=move(table.versions) if table.versions is not None else None,
         touched=move(table.touched, False) if table.touched is not None else None,
-        size=jnp.sum(live).astype(jnp.int32),
-        growth_hint=jnp.zeros((), jnp.int32),
+        # A re-insert can fail for straggler bucket chains (> MAX_PROBE
+        # advances at high load): count only keys that actually landed and
+        # surface the failures through growth_hint so maybe_grow widens and
+        # the loss is observable instead of silent (round-4 review).
+        size=(jnp.sum(live) - n_failed).astype(jnp.int32),
+        growth_hint=n_failed.astype(jnp.int32),
     )
 
 

@@ -64,6 +64,13 @@ class TieredTable:
             raise ValueError(
                 "CacheStrategy.LRU needs the versions plane — set "
                 "record_version=True on the table option")
+        if table.freqs is None:
+            # demote selection, the commit mask and HostKV freqs all read
+            # table.freqs unconditionally — fail at construction, not hours
+            # later inside the first demotion's jit trace (round-4 review)
+            raise ValueError(
+                "tiered storage needs the freqs plane — set "
+                "record_freq=True on the table option")
         # background upsert lane (concurrent demotion, EvictionManager role)
         import concurrent.futures as _cf
         import threading as _th
@@ -130,11 +137,22 @@ class TieredTable:
     # -- device ops ---------------------------------------------------------
 
     def promote(self, table: ev.EmbeddingTable, payload: Dict) -> ev.EmbeddingTable:
-        return _promote_jit(table, jnp.asarray(payload["keys"], table.key_dtype),
-                            jnp.asarray(payload["rows"]),
-                            jnp.asarray(payload["freqs"]),
-                            slot_names=self.slot_names,
-                            slot_widths=self.slot_widths, dim=self.dim)
+        table, failed = _promote_jit(
+            table, jnp.asarray(payload["keys"], table.key_dtype),
+            jnp.asarray(payload["rows"]), jnp.asarray(payload["freqs"]),
+            slot_names=self.slot_names,
+            slot_widths=self.slot_widths, dim=self.dim)
+        failed = np.asarray(jax.device_get(failed))
+        if failed.any():
+            # prepare(erase=True) already removed these rows from the cold
+            # store but the hot insert did not land — put them back so
+            # nothing learned is lost; growth_hint is bumped device-side,
+            # so needs_demote/maybe_grow relieves the pressure.
+            self.cold.upsert(
+                np.asarray(payload["keys"])[failed].astype(np.int64),
+                np.asarray(payload["rows"])[failed],
+                np.asarray(payload["freqs"])[failed].astype(np.uint32))
+        return table
 
     def needs_demote(self, table: ev.EmbeddingTable) -> bool:
         return (ev.load_factor(table) > self.hot_watermark
@@ -255,9 +273,16 @@ class TieredTable:
 
 
 def _promote_body(table, keys, rows, freqs, *, slot_names, slot_widths, dim):
+    """-> (table, failed [N] bool).  ``failed`` marks payload keys that
+    could not land (hot table full / probe chain exhausted) — the caller
+    must keep or restore their cold copies, or the learned rows are lost
+    (round-4 review).  Failures also ride ``growth_hint`` so the widen /
+    demote pressure valves fire."""
+
     valid = keys != table.empty
-    new_keys, slots, inserted, _ = ev._find_or_insert(table.keys, keys,
-                                                      valid, valid)
+    new_keys, slots, inserted, n_failed = ev._find_or_insert(
+        table.keys, keys, valid, valid)
+    failed = valid & (slots >= table.capacity)
     # only rows NOT already hot are written (device copy is authoritative)
     write = inserted
     dst = jnp.where(write, slots, jnp.int32(table.capacity))
@@ -279,7 +304,9 @@ def _promote_body(table, keys, rows, freqs, *, slot_names, slot_widths, dim):
         fr = fr.at[dst].set(freqs, mode="drop")
     return table.replace(
         keys=new_keys, values=values, slots=slots_d, versions=versions,
-        freqs=fr, size=table.size + jnp.sum(inserted).astype(jnp.int32))
+        freqs=fr, size=table.size + jnp.sum(inserted).astype(jnp.int32),
+        growth_hint=table.growth_hint + n_failed.astype(jnp.int32),
+    ), failed
 
 
 # jitted wrapper for the single-table path; the sharded path calls the raw

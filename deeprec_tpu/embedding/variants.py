@@ -175,18 +175,33 @@ class SimpleHashTable:
         return int(self._t.size)
 
     def insert(self, keys, values) -> "SimpleHashTable":
-        t, lk = ev.lookup_phase(self._t, keys, train=True)
+        """Deterministic upsert (round-4 review): a near-full table grows
+        and RETRIES until every key lands (no silent drops), and when the
+        batch contains duplicate keys the LAST occurrence wins on every
+        backend (XLA's duplicate-index scatter order is unspecified)."""
+
+        keys = jnp.asarray(keys).reshape(-1)
+        t = self._t
+        while True:
+            t2, lk = ev.lookup_phase(t, keys, train=True)
+            n_failed = int(jax.device_get(jnp.sum(
+                lk.valid & (lk.slot_ids >= t2.capacity))))
+            if n_failed == 0:
+                t = t2
+                break
+            # grow keeps already-landed keys; the retry resolves the rest
+            t = ev.grow(t2)
         ok = lk.valid & (lk.slot_ids < t.capacity)
         dst = jnp.where(ok, lk.slot_ids, jnp.int32(t.capacity))
-        uvals = jax.ops.segment_sum(
-            jnp.asarray(values, t.value_dtype), lk.inverse,
-            num_segments=lk.uids.shape[0])
-        counts = jnp.maximum(lk.counts, 1).astype(t.value_dtype)
-        uvals = uvals / counts[:, None]          # last-write-wins approx: mean
-        new_vals = t.values.at[dst].set(uvals, mode="drop")
-        t = t.replace(values=new_vals)
-        maybe = ev.maybe_grow(t)
-        return self._wrap(maybe)
+        order = jnp.argsort(dst, stable=True)
+        sdst = dst[order]
+        is_last = jnp.concatenate(
+            [sdst[1:] != sdst[:-1], jnp.ones((1,), bool)])
+        last = jnp.zeros_like(ok).at[order].set(is_last)
+        dst = jnp.where(last, dst, jnp.int32(t.capacity))
+        vals = jnp.asarray(values, t.value_dtype).reshape(keys.shape[0], -1)
+        t = t.replace(values=t.values.at[dst].set(vals, mode="drop"))
+        return self._wrap(ev.maybe_grow(t))
 
     def lookup(self, keys, default: float = 0.0):
         _, lk = ev.lookup_phase(self._t, keys, train=False)

@@ -39,8 +39,14 @@ class ElasticController:
     via_disk: bool = False
 
     def __post_init__(self):
+        import threading
+
         self.ckpt_dir = self.ckpt_dir or tempfile.mkdtemp(prefix="elastic_")
         self._pending: Optional[int] = None
+        # Guards _pending: ready_to_update runs on HTTP handler threads
+        # while update() pops on the training thread — without the lock a
+        # rescale staged between the read and the clear would be lost.
+        self._plock = threading.Lock()
 
     # -- the reference's 3-phase protocol ----------------------------------
 
@@ -52,10 +58,12 @@ class ElasticController:
     def ready_to_update(self, num_devices: int) -> None:
         """Stage a new cluster size (UpdateServerDefRequest)."""
 
-        if num_devices > len(jax.devices()):
+        if not 1 <= num_devices <= len(jax.devices()):
             raise ValueError(
-                f"requested {num_devices} devices, have {len(jax.devices())}")
-        self._pending = num_devices
+                f"requested {num_devices} devices, have {len(jax.devices())}"
+                " (need 1 <= n <= available)")
+        with self._plock:
+            self._pending = num_devices
 
     def update(self, trainer, state):
         """Apply the staged re-scale: ckpt → new mesh → restore.
@@ -65,10 +73,10 @@ class ElasticController:
         re-shard path (embedding_var_restore.cc:337-339).
         """
 
-        if self._pending is None:
+        with self._plock:
+            n, self._pending = self._pending, None
+        if n is None:
             return trainer, state
-        n = self._pending
-        self._pending = None
         new_mesh = Mesh(np.asarray(jax.devices()[:n]), ("data",))
         new_trainer = self.make_trainer(new_mesh)
         template = new_trainer.init_state(jax.random.PRNGKey(0))
@@ -125,8 +133,9 @@ class ElasticService:
 
             def do_GET(self):
                 if self.path == "/elastic/v1/status":
-                    with svc._lock:
+                    with svc.controller._plock:
                         pending = svc.controller._pending
+                    with svc._lock:
                         info = dict(svc._info)
                     self._reply(200, {**info, "pending": pending,
                                       "ready": svc._ready})
@@ -134,18 +143,23 @@ class ElasticService:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(n) or b"{}")
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(payload, dict):
+                        raise ValueError("body must be a JSON object")
+                except (ValueError, TypeError) as e:  # incl. JSONDecodeError
+                    self._reply(400, {"code": "ERROR", "error": str(e)})
+                    return
                 if self.path == "/elastic/v1/is_ready_scaling":
                     self._reply(200, {"code": "OK" if svc._ready
                                       else "NOT_READY"})
                 elif self.path == "/elastic/v1/ready_to_update":
                     try:
-                        with svc._lock:
-                            svc.controller.ready_to_update(
-                                int(payload["num_devices"]))
+                        svc.controller.ready_to_update(
+                            int(payload["num_devices"]))
                         self._reply(200, {"code": "OK"})
-                    except (KeyError, ValueError) as e:
+                    except (KeyError, ValueError, TypeError) as e:
                         self._reply(400, {"code": "ERROR", "error": str(e)})
                 else:
                     self._reply(404, {"error": "not found"})
@@ -171,7 +185,7 @@ class ElasticService:
     def maybe_update(self, trainer, state):
         """Apply a staged rescale if one is pending (call between steps)."""
 
-        with self._lock:
+        with self.controller._plock:
             pending = self.controller._pending is not None
         if not pending:
             return trainer, state

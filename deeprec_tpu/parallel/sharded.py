@@ -150,12 +150,16 @@ def sharded_lookup(
     emb = rows.reshape(num_shards, cap, -1)
     # embeddings back to requesters
     emb_back = lax.all_to_all(emb, axis_name, 0, 0, tiled=True)
-    # unpack to local unique rows; dropped/padded rows read zeros
+    # unpack to local unique rows; dropped/padded rows read the table's
+    # missing-id default (default_value_no_permission — matching the
+    # single-chip _collect for un-admitted ids, 0.0 in the default config)
     safe_dest = dest.clip(0, num_shards - 1)
     safe_pos = pos.clip(0, cap - 1)
     gathered_u = emb_back[safe_dest, safe_pos]
     ok = valid & (pos < cap)
-    gathered_u = jnp.where(ok[:, None], gathered_u, 0.0)
+    dvnp = jnp.asarray(local_table.option.default_value_no_permission,
+                       gathered_u.dtype)
+    gathered_u = jnp.where(ok[:, None], gathered_u, dvnp)
     ctx = ExchangeCtx(uids=uids, counts=counts, inverse=inverse, dest=dest,
                       pos=pos, owner_lk=lk, n_dropped=n_dropped)
     if not with_freqs:

@@ -63,6 +63,10 @@ class ShardedTiers:
         # shard_of_np on the widened copy would take the 64-bit mix path and
         # route to a different shard than the all-to-all.
         self.key_np = np.dtype(stacked.keys.dtype.name)
+        if stacked.freqs is None:
+            raise ValueError(
+                "tiered storage needs the freqs plane — set "
+                "record_freq=True on the table option")
         self.dim = stacked.dim
         self.slot_names = tuple(sorted(stacked.slots))
         self.slot_widths = tuple(int(stacked.slots[s].shape[-1])
@@ -112,8 +116,7 @@ class ShardedTiers:
         self.strategy = stacked.option.storage.cache_strategy.value
         if self.strategy == "lru" and stacked.versions is None:
             raise ValueError("CacheStrategy.LRU needs record_version=True")
-        self._promote_fn = None   # compiled lazily per payload length
-        self._promote_len = None
+        self._promote_fns: Dict[int, object] = {}  # payload len -> compiled
         self._demote_fns: Dict[int, object] = {}  # capacity -> compiled pair
 
     @staticmethod
@@ -199,21 +202,25 @@ class ShardedTiers:
             payload = _repad_payload(payload, pad_glob,
                                      empty=int(stacked.empty))
         pad_to = payload["keys"].shape[1]
-        if self._promote_fn is None or self._promote_len != pad_to:
+        promote_fn = self._promote_fns.get(pad_to)
+        if promote_fn is None:
             sspec = table_pspec(stacked, self.axis)
             sn, sw, d = self.slot_names, self.slot_widths, self.dim
 
             def body(tbl, keys, rows, freqs):
                 t = local_view(tbl)
-                t = _promote_body(t, keys[0], rows[0], freqs[0],
-                                  slot_names=sn, slot_widths=sw, dim=d)
-                return relift(t)
+                t, failed = _promote_body(t, keys[0], rows[0], freqs[0],
+                                          slot_names=sn, slot_widths=sw,
+                                          dim=d)
+                return relift(t), failed[None]
 
-            self._promote_fn = jax.jit(jax.shard_map(
+            # cached per payload width (like _demote_fns per capacity):
+            # alternating widths must not thrash recompiles
+            promote_fn = jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(sspec, P(self.axis), P(self.axis), P(self.axis)),
-                out_specs=sspec, check_vma=False))
-            self._promote_len = pad_to
+                out_specs=(sspec, P(self.axis)), check_vma=False))
+            self._promote_fns[pad_to] = promote_fn
         sh = NamedSharding(self.mesh, P(self.axis))
 
         def put(x, dtype=None):
@@ -226,11 +233,26 @@ class ShardedTiers:
                 x.shape, NamedSharding(self.mesh, P(self.axis)),
                 lambda idx: x[idx])
 
-        return self._promote_fn(
+        out, failed = promote_fn(
             stacked,
             put(payload["keys"], np.dtype(stacked.keys.dtype.name)),
             put(payload["rows"]),
             put(payload["freqs"]))
+        # Failed inserts (hot shard full / probe exhausted): their cold
+        # copies were taken with erase semantics in prepare() — restore
+        # them per ADDRESSABLE shard so learned rows are never lost
+        # (growth_hint is bumped device-side, so the demote/widen valves
+        # fire).  Mirrors demote's local_rows walk.
+        for sh_piece in failed.addressable_shards:
+            s = int(sh_piece.index[0].start or 0)
+            f = np.asarray(sh_piece.data)[0]
+            if s in self.cold and f.any():
+                keys_s = np.asarray(payload["keys"])[s]
+                self.cold[s].upsert(
+                    keys_s[f].astype(np.int64),
+                    np.asarray(payload["rows"])[s][f],
+                    np.asarray(payload["freqs"])[s][f].astype(np.uint32))
+        return out
 
     # -- demotion -----------------------------------------------------------
 
@@ -285,7 +307,9 @@ class ShardedTiers:
         def local_rows(arr):
             # per-ADDRESSABLE-shard host copies (multi-host: device_get of
             # the whole [S, ...] array would touch non-addressable shards)
-            return {int(s.index[0].start): np.asarray(s.data)[0]
+            # a 1-shard axis yields index slice(None) (start is None) —
+            # that replicated shard is shard 0
+            return {int(s.index[0].start or 0): np.asarray(s.data)[0]
                     for s in arr.addressable_shards}
 
         keys_h, rows_h, freqs_h = (local_rows(keys), local_rows(rows),

@@ -46,20 +46,32 @@ STACKED_FIELDS = ("keys", "values", "slots", "freqs", "versions", "touched",
                   "cbf", "size", "growth_hint")
 
 
+def _map_stacked(table: ev.EmbeddingTable, fn, **overrides) -> ev.EmbeddingTable:
+    """``replace`` the per-shard state arrays (STACKED_FIELDS) with
+    ``fn(array)`` — None fields pass through, ``slots`` maps per entry,
+    metadata/default_rows untouched unless overridden.  Single source of
+    truth for which EmbeddingTable fields carry per-shard state: add a new
+    plane to STACKED_FIELDS and every stack/spec/view/lift/grow helper
+    picks it up."""
+
+    kw = {}
+    for f in STACKED_FIELDS:
+        v = getattr(table, f)
+        if f == "slots":
+            kw[f] = {k: fn(x) for k, x in v.items()}
+        else:
+            kw[f] = None if v is None else fn(v)
+    kw.update(overrides)
+    return table.replace(**kw)
+
+
 def stack_table(table: ev.EmbeddingTable, num_shards: int) -> ev.EmbeddingTable:
     """Give every per-shard state array a leading [S] dim (default_rows stays
     replicated — same deterministic init pool on every shard)."""
 
-    def rep(x):
-        return jnp.broadcast_to(x[None], (num_shards,) + x.shape).copy() if x is not None else None
-
-    return table.replace(
-        keys=rep(table.keys), values=rep(table.values),
-        slots={k: rep(v) for k, v in table.slots.items()},
-        freqs=rep(table.freqs), versions=rep(table.versions),
-        touched=rep(table.touched), cbf=rep(table.cbf),
-        size=rep(table.size), growth_hint=rep(table.growth_hint),
-    )
+    return _map_stacked(
+        table,
+        lambda x: jnp.broadcast_to(x[None], (num_shards,) + x.shape).copy())
 
 
 def table_pspec(table: ev.EmbeddingTable, axis: str) -> ev.EmbeddingTable:
@@ -67,55 +79,23 @@ def table_pspec(table: ev.EmbeddingTable, axis: str) -> ev.EmbeddingTable:
     replicated."""
 
     sp = P(axis)
-    return table.replace(
-        keys=sp, values=sp, slots={k: sp for k in table.slots},
-        freqs=sp if table.freqs is not None else None,
-        versions=sp if table.versions is not None else None,
-        touched=sp if table.touched is not None else None,
-        cbf=sp if table.cbf is not None else None,
-        size=sp, growth_hint=sp, default_rows=P(),
-    )
+    return _map_stacked(table, lambda x: sp, default_rows=P())
 
 
 def local_view(stacked: ev.EmbeddingTable) -> ev.EmbeddingTable:
     """Inside shard_map: strip the leading [1] shard dim."""
 
-    def sq(x):
-        return None if x is None else x[0]
-
-    return stacked.replace(
-        keys=sq(stacked.keys), values=sq(stacked.values),
-        slots={k: sq(v) for k, v in stacked.slots.items()},
-        freqs=sq(stacked.freqs), versions=sq(stacked.versions),
-        touched=sq(stacked.touched), cbf=sq(stacked.cbf),
-        size=sq(stacked.size), growth_hint=sq(stacked.growth_hint),
-    )
+    return _map_stacked(stacked, lambda x: x[0])
 
 
 def relift(local: ev.EmbeddingTable) -> ev.EmbeddingTable:
-    def ex(x):
-        return None if x is None else x[None]
-
-    return local.replace(
-        keys=ex(local.keys), values=ex(local.values),
-        slots={k: ex(v) for k, v in local.slots.items()},
-        freqs=ex(local.freqs), versions=ex(local.versions),
-        touched=ex(local.touched), cbf=ex(local.cbf),
-        size=ex(local.size), growth_hint=ex(local.growth_hint),
-    )
+    return _map_stacked(local, lambda x: x[None])
 
 
 def grow_stacked(stacked: ev.EmbeddingTable, new_capacity: int) -> ev.EmbeddingTable:
     """Rebuild every shard at a larger capacity (host-mediated growth)."""
 
-    axes = stacked.replace(
-        keys=0, values=0, slots={k: 0 for k in stacked.slots},
-        freqs=0 if stacked.freqs is not None else None,
-        versions=0 if stacked.versions is not None else None,
-        touched=0 if stacked.touched is not None else None,
-        cbf=0 if stacked.cbf is not None else None,
-        size=0, growth_hint=0, default_rows=None,
-    )
+    axes = _map_stacked(stacked, lambda x: 0, default_rows=None)
     fn = jax.vmap(lambda t: ev._rebuild(t, new_capacity), in_axes=(axes,),
                   out_axes=axes)
     return fn(stacked)
@@ -477,7 +457,6 @@ class DistributedTrainer:
         smap_eval = jax.shard_map(
             eval_body, mesh=self.mesh, in_specs=(sspec, bspec),
             out_specs=(P(self.axis), P()), check_vma=False)
-        self._smap_train = smap_train
         self._train_step = jax.jit(smap_train, donate_argnums=(0,))
         self._eval_step = jax.jit(smap_eval)
         self._built_with_pending = state.pending is not None
@@ -580,6 +559,17 @@ class DistributedTrainer:
         Trainer.make_multi_step.  Bucket overflow self-healing still works:
         per-chunk summed drop counters feed the same widen-and-rebuild path
         (the returned fn re-jits itself when the factor changes)."""
+
+        if self.tiers:
+            # The fused scan does no tier prepare/promote: a demoted id
+            # inside the K batches would be re-inserted fresh while its
+            # trained row sits in the cold store (and an erase=True
+            # prepare would then drop that row for good).  Same caveat as
+            # the single-chip twin, enforced here.
+            raise ValueError(
+                "make_multi_step does not compose with tiered storage — "
+                "promotion runs per train_step; use train_step (or "
+                "detach tiers) for tiered jobs")
 
         cell = {}
 

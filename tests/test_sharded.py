@@ -605,3 +605,30 @@ def test_distributed_variants_staleness():
         s, m = dt.train_step(s, b)
         frozen.append(float(m["loss"]))
     np.testing.assert_allclose(frozen, dist[:2], rtol=1e-6)
+
+def test_sharded_tiers_on_single_device_mesh():
+    """Round-4 review fix: a 1-device mesh's addressable shards carry
+    index slice(None) (start is None) — demote's per-shard host copy must
+    treat that replicated shard as shard 0 instead of raising TypeError."""
+
+    from jax.sharding import Mesh
+
+    from deeprec_tpu.parallel.tiers import ShardedTiers
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    model = tiny_model(n_cols=2, emb_dim=4)
+    tr = DistributedTrainer(model=model, mesh=mesh,
+                            sparse_optimizer=sparse.adagrad(lr=0.05),
+                            dense_tx=optax.adagrad(0.05),
+                            per_shard_capacity=64)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    tr.tiers = {n: ShardedTiers(t, mesh, "data", hot_watermark=0.5,
+                                evict_fraction=0.5)
+                for n, t in state.tables.items()}
+    it = iter(SyntheticCriteo(batch_size=128, num_ids_per_col=600, seed=3))
+    for _ in range(10):
+        state, _ = tr.train_step(state, next(it))
+        for n, tier in tr.tiers.items():
+            if tier.needs_demote(state.tables[n]):
+                state.tables[n] = tier.demote(state.tables[n])
+    assert any(tier.cold_size > 0 for tier in tr.tiers.values())

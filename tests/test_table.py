@@ -319,3 +319,38 @@ def test_collect_skips_select_without_filter():
     finally:
         ev._FORCE_COLLECT_SELECT = False
     assert bool(jnp.all(fast == slow))
+
+def test_inserted_rows_are_marked_touched():
+    """Round-4 review fix: an inserted key must land in the touched plane
+    even if it never receives an admitted gradient — otherwise incremental
+    deltas omit it and full+delta restore loses the key."""
+
+    opt = cfg.EmbeddingVariableOption(
+        record_touched=True,
+        counter_filter=cfg.CounterFilterOption(filter_freq=5))
+    t = ev.create("t", dim=4, capacity=128, option=opt)
+    ids = jnp.array([11, 12], jnp.int32)
+    t, lk = ev.lookup_phase(t, ids, step=1)
+    assert not bool(lk.admitted[lk.valid].any())  # freq 1 < 5
+    slots = np.asarray(lk.slot_ids)
+    assert bool(np.asarray(t.touched)[slots].all())
+
+
+def test_cbf_narrow_counter_saturates_on_large_batch_counts():
+    """Round-4 review fix: an int8 CBF counter gaining +300 in one batch
+    must SATURATE at 127, not wrap to 44 — a wrapped count would deny
+    admission to an id that is provably hot."""
+
+    opt = cfg.EmbeddingVariableOption(
+        cbf_filter=cfg.CBFFilterOption(filter_freq=60,
+                                       max_element_size=int(1e3),
+                                       counter_dtype="int8"))
+    t = ev.create("t", dim=4, capacity=256, option=opt)
+    assert t.cbf is not None and t.cbf.dtype == jnp.int8
+    ids = jnp.full((300,), 7, jnp.int32)
+    t, lk = ev.lookup_phase(t, ids, step=0)
+    est = int(ev._cbf_probe(t.cbf, jnp.array([7], jnp.int32),
+                            ev._cbf_num_hashes(opt.cbf_filter))[0])
+    assert est == 127, est  # saturated, not wrapped
+    # and the id was admitted (freq estimate >= 60 at insert time)
+    assert bool(lk.slot_ids[0] < t.capacity)

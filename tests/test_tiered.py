@@ -362,3 +362,48 @@ def test_concurrent_demotion_read_barrier():
     assert payload is not None
     t3 = tier.promote(t2, payload)
     np.testing.assert_array_equal(np.asarray(ev.lookup(t3, ids)), before)
+
+def test_promote_into_full_table_restores_cold_rows():
+    """Round-4 review fix: prepare(erase=True) removes rows from the cold
+    store BEFORE the hot insert is known to succeed.  When the hot table
+    cannot take them (full), promote must put the failed rows back (and
+    bump growth_hint) — previously the learned rows vanished from both
+    tiers."""
+
+    from deeprec_tpu.optimizers import sparse as sp
+
+    # table A: 100 trained rows, demote half into the cold store
+    t = ev.create("t", dim=4, capacity=256)
+    t = sp.adagrad().init(t)
+    ids = jnp.arange(100, dtype=jnp.int32)
+    t, lk = ev.lookup_phase(t, ids, step=1)
+    t = sp.adagrad(lr=0.5).apply(t, lk, jnp.ones((100, 4)), step=1)
+    tier = TieredTable(t, evict_fraction=0.5)
+    t = tier.demote(t)
+    n_cold = tier.cold.size
+    assert n_cold > 0
+    cold_keys = np.array(
+        [k for k in range(100)
+         if not bool(ev.contains(t, jnp.array([k], jnp.int32))[0])],
+        np.int64)
+    want_rows = {int(k): tier.cold.lookup(np.array([k]))[0][0].copy()
+                 for k in cold_keys}
+
+    # fill the hot table COMPLETELY with other ids -> inserts must fail
+    filler = jnp.arange(1000, 1000 + 256, dtype=jnp.int32)
+    while True:
+        t, _ = ev.lookup_phase(t, filler, step=2)
+        if int(jax.device_get(t.size)) >= t.capacity:
+            break
+
+    payload = tier.prepare(np.asarray(cold_keys, np.int32), t.empty)
+    assert payload is not None
+    assert tier.cold.size == 0          # erase semantics took the rows
+    t2 = tier.promote(t, payload)
+    # nothing could land; every row must be BACK in the cold store
+    assert tier.cold.size == len(cold_keys)
+    assert int(jax.device_get(t2.growth_hint)) >= len(cold_keys)
+    for k in cold_keys:
+        rows, _, found = tier.cold.lookup(np.array([k], np.int64))
+        assert found[0]
+        np.testing.assert_array_equal(rows[0], want_rows[int(k)])

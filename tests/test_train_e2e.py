@@ -237,3 +237,35 @@ def test_fit_fused_dispatch():
     assert int(state.step) == 60
     m = tr.evaluate(state, SyntheticCriteo(batch_size=512, seed=9), 10)
     assert m["auc"] > 0.6, m
+
+def test_combine_small_weight_sums_divide_truly():
+    """Round-4 review fix: MEAN/SQRTN divide by the TRUE weight sum — a
+    clamp-to-1 denominator silently shrank activations whenever an
+    example's combiner weights summed below 1 (embedding_lookup_sparse
+    divides exactly)."""
+
+    import jax.numpy as jnp
+    from deeprec_tpu import config as cfg
+    from deeprec_tpu.embedding import lookup as lkp
+    from deeprec_tpu.embedding import table as evt
+
+    t = evt.create("t", dim=4, capacity=64,
+                   option=cfg.EmbeddingVariableOption(
+                       init=cfg.InitializerOption(initializer="constant",
+                                                  constant=1.0)))
+    emp = evt.empty_key(jnp.int32)
+    ids = jnp.array([[1, 2], [3, emp], [emp, emp]], jnp.int32)
+    w = jnp.array([[0.2, 0.3], [0.5, 7.7], [1.0, 1.0]], jnp.float32)
+    t, lk = evt.lookup_phase(t, ids.reshape(-1))
+    g = evt.collect(t, lk)
+    feat = lkp.SparseFeature(ids=ids, weights=w)
+    out_mean = lkp.combine(g, lk.inverse, feat, t.empty, cfg.Combiner.MEAN)
+    # (0.2*1 + 0.3*1) / 0.5 = 1.0, NOT /1 = 0.5
+    np.testing.assert_allclose(np.asarray(out_mean[0]), np.ones(4), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_mean[1]), np.ones(4), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_mean[2]), np.zeros(4))  # all-pad
+    out_sq = lkp.combine(g, lk.inverse, feat, t.empty, cfg.Combiner.SQRTN)
+    # sqrt(0.04+0.09)=0.3606 -> 0.5/0.3606
+    np.testing.assert_allclose(np.asarray(out_sq[0]),
+                               np.full(4, 0.5 / np.sqrt(0.13)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_sq[2]), np.zeros(4))

@@ -329,3 +329,30 @@ def test_adaptive_migration_seeds_ev_from_static_row():
     row9 = np.asarray(t.values[int(lk9.slot_ids[0])])
     b9 = int(hashing.bucket(jnp.array([9], jnp.int32), 32, salt=3)[0])
     assert not np.allclose(row9, np.asarray(static[b9]))
+
+def test_simple_hash_table_duplicate_insert_last_wins():
+    """Round-4 review fix: insert with duplicate keys must be
+    deterministic — the LAST occurrence wins on every backend (XLA's
+    duplicate-index scatter order is unspecified)."""
+
+    ht = va.SimpleHashTable(dim=2, capacity=64)
+    ht = ht.insert(jnp.array([7, 7, 9], jnp.int32),
+                   jnp.array([[1., 1.], [2., 2.], [3., 3.]]))
+    rows, found = ht.lookup(jnp.array([7, 9], jnp.int32))
+    assert found.all()
+    np.testing.assert_array_equal(np.asarray(rows), [[2., 2.], [3., 3.]])
+
+
+def test_simple_hash_table_insert_grows_past_capacity():
+    """Round-4 review fix: bulk-inserting more keys than the table can
+    hold must grow-and-retry until every key lands — never silently drop
+    (upsert semantics)."""
+
+    ht = va.SimpleHashTable(dim=2, capacity=64)
+    n = 300
+    keys = jnp.arange(n, dtype=jnp.int32)
+    vals = jnp.tile(jnp.arange(n, dtype=jnp.float32)[:, None], (1, 2))
+    ht = ht.insert(keys, vals)
+    rows, found = ht.lookup(keys)
+    assert bool(found.all())
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(vals))
