@@ -120,7 +120,20 @@ class CheckpointSaverHook(Hook):
                                       model_name=self.model_name)
             self._last_full = now
             self._last_incr = now
-            return state
+            # The full checkpoint now contains every row: clear the
+            # touched recorder so the next delta is relative to THIS save
+            # (IndicesIncrRecorder resets on full saves) — otherwise
+            # deltas re-dump the whole pre-save interval and grow toward
+            # full-table size on hot tables (round-4 review).  The async
+            # saver snapshotted the state before returning, so clearing
+            # here never races the write.
+            import jax.numpy as jnp
+
+            tables = {
+                n: (t.replace(touched=jnp.zeros_like(t.touched))
+                    if t.touched is not None else t)
+                for n, t in state.tables.items()}
+            return state.replace(tables=tables)
         if self.incr_secs and now - self._last_incr >= self.incr_secs:
             state = self._save_incr(state, step + 1)
             self._last_incr = now
@@ -129,7 +142,8 @@ class CheckpointSaverHook(Hook):
     def end(self, state):
         if self.async_saver is not None:
             self.async_saver.wait()
-        saver.save_checkpoint(self.ckpt_dir, state, tiers=self.tiers,
+        saver.save_checkpoint(self.ckpt_dir, state, shrink=self.shrink,
+                              tiers=self.tiers,
                               num_bundles=self.num_bundles,
                               model_name=self.model_name)
         if self.async_saver is not None:

@@ -428,7 +428,7 @@ class Trainer:
 
         return g
 
-    def _zero_pending(self, batch: Dict):
+    def _zero_pending(self, batch: Dict, tables):
         """Build the staleness FIFO primed with no-op entries (valid=False
         everywhere -> the masked apply touches nothing) whose shapes match
         what ``_grouped_lookup`` will produce for batches shaped like
@@ -448,7 +448,10 @@ class Trainer:
                 for col in spec.shared_features:
                     shape = np.shape(batch["cat"][col])
                     n += int(np.prod(shape)) if shape else 1
-            t = self.tables[pname]
+            # size from the LIVE tables: after growth the construction-time
+            # self.tables would prime a stale-capacity slot_counts plane,
+            # breaking the FIFO pytree match (round-4 review)
+            t = tables[pname]
 
             def entry():  # distinct buffers per FIFO slot (state is donated)
                 lk = ev.Lookup(
@@ -499,7 +502,6 @@ class Trainer:
             dense_acc = jax.tree.map(jnp.add, dense_acc, gp)
             loss_acc = loss_acc + loss
             for pname, g in gg.items():
-                tables = dict(tables)
                 tables[pname] = self.sparse_optimizer.apply(
                     tables[pname], lks[pname], self._grad_for_apply(g),
                     step=state.step, use_counts=self.use_counts,
@@ -559,7 +561,8 @@ class Trainer:
         inline on the calling thread."""
 
         if self.staleness and state.pending is None:
-            state = state.replace(pending=self._zero_pending(batch))
+            state = state.replace(
+                pending=self._zero_pending(batch, state.tables))
         if self.tiers:
             if payloads is None:
                 payloads = [p] if (p := self.prepare_payloads(batch)) else []
@@ -653,6 +656,7 @@ class Trainer:
         log_fn: Callable = print,
         hooks=(),
         steps_per_dispatch: int = 1,
+        _end_hooks: bool = True,
     ) -> TrainState:
         if steps_per_dispatch > 1:
             if self.tiers:
@@ -663,7 +667,7 @@ class Trainer:
                                    k=steps_per_dispatch,
                                    grow_every=grow_every,
                                    log_every=log_every, log_fn=log_fn,
-                                   hooks=hooks)
+                                   hooks=hooks, _end_hooks=_end_hooks)
         t0 = time.time()
         seen = 0
         # hooks see the GLOBAL step (state.step), not this fit()'s loop index —
@@ -678,11 +682,17 @@ class Trainer:
             stream = ((b, pl) for b, pl in stager)
         else:
             stream = ((b, None) for b in data_iter)
-        for i, (batch, payloads) in enumerate(stream):
-            if i >= steps:
+        # bound BEFORE pulling: `enumerate + break` would consume (and
+        # silently discard) one extra batch from a shared iterator per
+        # fit() chunk (round-4 review)
+        stream_it = iter(stream)
+        for i in range(steps):
+            try:
+                batch, payloads = next(stream_it)
+            except StopIteration:
                 break
             state, m = self.train_step(state, batch, payloads=payloads)
-            seen += len(batch["label"])
+            seen += len(_first_labels(batch))
             if grow_every and (i + 1) % grow_every == 0:
                 state = self.maybe_grow(state, stager=stager)
             for h in hooks:
@@ -694,13 +704,14 @@ class Trainer:
                     f"auc={M.auc_value(state.auc):.4f} "
                     f"ex/s={seen/dt:,.0f}"
                 )
-        for h in hooks:
-            state = h.end(state)
+        if _end_hooks:
+            for h in hooks:
+                state = h.end(state)
         return state
 
     def _fit_fused(self, state: TrainState, data_iter, steps: int, *, k: int,
                    grow_every: int, log_every: int, log_fn: Callable,
-                   hooks=()) -> TrainState:
+                   hooks=(), _end_hooks: bool = True) -> TrainState:
         """K-steps-per-dispatch fit: stacks K batches and scans.  Hooks fire
         once per chunk (with the chunk's last step index and mean loss);
         growth checks run between chunks."""
@@ -723,7 +734,8 @@ class Trainer:
             if not chunk:
                 break
             if self.staleness and state.pending is None:
-                state = state.replace(pending=self._zero_pending(chunk[0]))
+                state = state.replace(
+                    pending=self._zero_pending(chunk[0], state.tables))
             if len(chunk) < k:      # ragged tail: plain per-step path
                 for b in chunk:
                     state, m = self._train_step(state, b)
@@ -732,7 +744,7 @@ class Trainer:
                 stacked = jax.tree.map(lambda *xs: np.stack(xs), *chunk)
                 state, losses = multi(state, stacked)
             done += len(chunk)
-            seen += sum(len(b["label"]) for b in chunk)
+            seen += sum(len(_first_labels(b)) for b in chunk)
             if grow_every and (done // max(grow_every, 1)) != \
                     ((done - len(chunk)) // max(grow_every, 1)):
                 state = self.maybe_grow(state)
@@ -745,8 +757,9 @@ class Trainer:
                 log_fn(
                     f"step {done}: loss={float(m['loss']):.4f} "
                     f"auc={M.auc_value(state.auc):.4f} ex/s={seen/dt:,.0f}")
-        for h in hooks:
-            state = h.end(state)
+        if _end_hooks:
+            for h in hooks:
+                state = h.end(state)
         return state
 
     def evaluate(self, state: TrainState, data_iter, steps: int) -> Dict[str, float]:
@@ -769,6 +782,16 @@ class Trainer:
         return {"auc": auc_numpy(logits, labels), "loss": float(np.mean(losses))}
 
 
+def _first_labels(batch: Dict):
+    """Per-example label array for throughput accounting — multi-task
+    batches may carry only batch['labels'][task] (models/base.py:128)."""
+
+    if "label" in batch:
+        return batch["label"]
+    labels = batch["labels"]
+    return labels[next(iter(labels))]
+
+
 def train_and_evaluate(
     trainer: Trainer,
     state: TrainState,
@@ -789,7 +812,8 @@ def train_and_evaluate(
     while done < total_steps:
         chunk = min(eval_every, total_steps - done)
         state = trainer.fit(state, train_iter, chunk, hooks=hooks,
-                            log_every=0)
+                            log_every=0,
+                            _end_hooks=done + chunk >= total_steps)
         done += chunk
         m = trainer.evaluate(state, eval_iter_fn(), eval_steps)
         log_fn(f"eval @ step {done}: auc={m['auc']:.4f} loss={m['loss']:.4f}")

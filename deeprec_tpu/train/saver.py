@@ -611,38 +611,14 @@ def _build_shard_from_data(data: Dict[str, np.ndarray],
 
 
 def _bulk_import(fresh: ev.EmbeddingTable, data) -> ev.EmbeddingTable:
-    """Insert pre-selected host rows (``data`` maps column -> array)."""
+    """Insert pre-selected host rows (``data`` maps column -> array).
 
-    keys = jnp.asarray(data["keys"], fresh.key_dtype)
-    valid = jnp.ones(keys.shape, jnp.bool_)
-    while True:
-        new_keys, slots, inserted, n_failed = ev._find_or_insert(
-            fresh.keys, keys, valid, valid)
-        if int(jax.device_get(n_failed)) == 0:
-            break
-        # Pathological probe overflow at this capacity: grow and re-derive
-        # (the partial insert is discarded with new_keys).
-        fresh = ev.grow(fresh)
-    dst = jnp.where(inserted, slots, jnp.int32(fresh.capacity))
+    Thin alias of ``upsert_table_rows`` (round-4 dedup): on a fresh table
+    the found/inserted masks coincide, and for HashTable.insert the
+    found-mask is the FIX — re-importing an existing key now updates its
+    row (upsert semantics) instead of being silently skipped."""
 
-    def put(arr, host):
-        return arr.at[dst].set(jnp.asarray(host, arr.dtype), mode="drop")
-
-    values = put(fresh.values, data["values"])
-    freqs = (put(fresh.freqs, data["freqs"])
-             if fresh.freqs is not None and "freqs" in data else fresh.freqs)
-    versions = (put(fresh.versions, data["versions"])
-                if fresh.versions is not None and "versions" in data
-                else fresh.versions)
-    slots_d = dict(fresh.slots)
-    for sname in fresh.slots:
-        k = f"slot_{sname}"
-        if k in data:
-            slots_d[sname] = put(fresh.slots[sname], data[k])
-    return fresh.replace(
-        keys=new_keys, values=values, freqs=freqs, versions=versions,
-        slots=slots_d, size=fresh.size + jnp.sum(inserted).astype(jnp.int32),
-    )
+    return upsert_table_rows(fresh, data)
 
 
 def _stack_shards(shards: List[ev.EmbeddingTable]) -> ev.EmbeddingTable:
@@ -1196,9 +1172,13 @@ class AsyncCheckpointer:
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
         cold = {name: tier.export_cold()
                 for name, tier in (tiers or {}).items()}
+        # tiers rides along for the cold-layout META (dim/slot widths);
+        # the snapshotted _cold_data supplies the rows, so the background
+        # thread never touches the live (mutating) cold stores.
         self._pending = self._ex.submit(
             save_checkpoint, ckpt_dir, state, step=step, shrink=shrink,
-            num_bundles=num_bundles, model_name=model_name, _cold_data=cold)
+            tiers=tiers, num_bundles=num_bundles, model_name=model_name,
+            _cold_data=cold)
         return self._pending
 
     def wait(self) -> Optional[str]:

@@ -56,8 +56,14 @@ class TierStager:
     def _run(self, it: Iterator, max_steps: Optional[int]):
         n = 0
         try:
-            for batch in it:
+            while True:
+                # bound BEFORE pulling — a for/break would consume (and
+                # discard) one extra batch from a shared iterator
                 if max_steps is not None and n >= max_steps:
+                    break
+                try:
+                    batch = next(it)
+                except StopIteration:
                     break
                 with self._cv:
                     while len(self._items) >= self._depth:
