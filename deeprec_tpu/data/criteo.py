@@ -109,24 +109,45 @@ class CriteoParquet:
 
         cols = ([base.LABEL_COLUMN] + base.CONTINUOUS_COLUMNS
                 + base.CATEGORICAL_COLUMNS)
+
+        def decode(tbl):
+            # nulls -> 0, matching the TSV parser's missing-value mapping
+            # (real Criteo has pervasive missing fields; round-4 review)
+            def col(c, dt):
+                a = np.asarray(
+                    [0 if v is None else v for v in tbl[c]], dt)
+                return a
+
+            labels = col(base.LABEL_COLUMN, np.float32)
+            dense = np.stack(
+                [np.log1p(np.maximum(col(c, np.float32), 0.0))
+                 for c in base.CONTINUOUS_COLUMNS], axis=1)
+            cats = np.stack(
+                [col(c, np.int64).astype(np.int32) & 0x7FFFFFFF
+                 for c in base.CATEGORICAL_COLUMNS], axis=1)
+            return labels, dense, cats
+
+        # pyarrow's batch_size is a MAXIMUM and batches never span row
+        # groups — short batches occur at EVERY row-group boundary, so
+        # they must be carried and stitched, not dropped (round-4 review:
+        # the old `continue` silently lost ~rows%row_group per group).
+        pend: list = []
+        n_pend = 0
         while True:
             for path in self.paths:
                 pf = pq.ParquetFile(path)
                 for rb in pf.iter_batches(batch_size=self.batch_size,
                                           columns=cols):
-                    tbl = rb.to_pydict()
-                    n = len(tbl[base.LABEL_COLUMN])
-                    if n < self.batch_size:
-                        continue
-                    labels = np.asarray(tbl[base.LABEL_COLUMN], np.float32)
-                    dense = np.stack(
-                        [np.log1p(np.maximum(
-                            np.asarray(tbl[c], np.float32), 0.0))
-                         for c in base.CONTINUOUS_COLUMNS], axis=1)
-                    cats = np.stack(
-                        [np.asarray(tbl[c], np.int64).astype(np.int32)
-                         & 0x7FFFFFFF
-                         for c in base.CATEGORICAL_COLUMNS], axis=1)
-                    yield _to_batch(labels, dense, cats)
+                    pend.append(decode(rb.to_pydict()))
+                    n_pend += len(pend[-1][0])
+                    while n_pend >= self.batch_size:
+                        labels = np.concatenate([p[0] for p in pend])
+                        dense = np.concatenate([p[1] for p in pend])
+                        cats = np.concatenate([p[2] for p in pend])
+                        b = self.batch_size
+                        yield _to_batch(labels[:b], dense[:b], cats[:b])
+                        pend = ([(labels[b:], dense[b:], cats[b:])]
+                                if len(labels) > b else [])
+                        n_pend = len(labels) - b
             if not self.loop:
                 return

@@ -61,22 +61,45 @@ class KafkaStream:
         })
         c.subscribe(self.topics)
         buf = b""
+        pend: list = []          # parsed-but-unemitted row arrays
+        n_pend = 0
         idle = 0
         while True:
             msg = c.poll(self.poll_timeout)
-            if msg is None or msg.error():
+            if msg is not None and not msg.error():
+                idle = 0
+                v = msg.value()
+                # newline-FRAME the message, never double-terminate: a
+                # producer whose values already end in "\n" must not
+                # inject a phantom all-missing row (round-4 review; the
+                # parser reads a blank line as a valid all-zero sample)
+                buf += v if v.endswith(b"\n") else v + b"\n"
+            else:
                 idle += 1
                 if (self.max_empty_polls is not None
                         and idle >= self.max_empty_polls):
+                    # what remains is a partial batch (< batch_size rows)
                     return
-                continue
-            idle = 0
-            buf += msg.value() + b"\n"
-            labels, dense, cats, consumed = native.criteo_parse(
-                buf, self.batch_size)
-            if len(labels) >= self.batch_size:
+            # Incremental parse (round-4 review: the old code re-parsed
+            # the whole buffer per message and never drained batches that
+            # were already complete — a jumbo message's 2nd/3rd batch
+            # stalled forever).  Each round consumes every complete row
+            # into ``pend`` and emits as full batches accumulate; partial
+            # trailing lines stay in ``buf``.
+            while buf:
+                labels, dense, cats, consumed = native.criteo_parse(
+                    buf, self.batch_size - n_pend)
+                if len(labels) == 0:
+                    break
                 buf = buf[consumed:]
-                yield _to_batch(labels, dense, cats)
+                pend.append((labels, dense, cats))
+                n_pend += len(labels)
+                if n_pend == self.batch_size:
+                    yield _to_batch(
+                        np.concatenate([p[0] for p in pend]),
+                        np.concatenate([p[1] for p in pend]),
+                        np.concatenate([p[2] for p in pend]))
+                    pend, n_pend = [], 0
 
 
 class _FakeMessage:

@@ -46,10 +46,21 @@ def sanitize_tag() -> str:
 
 
 def _build(srcs, out: Path) -> None:
+    """Compile to a process-unique temp name and os.replace into place:
+    concurrent builders (multi-controller JAX, pytest-xdist) must never
+    dlopen a partially-written .so or interleave two g++ writes to the
+    same path (round-4 review)."""
+
     out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_name(f"{out.name}.tmp.{os.getpid()}")
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-           *sanitize_flags(), "-o", str(out)] + [str(s) for s in srcs]
-    subprocess.run(cmd, check=True, capture_output=True)
+           *sanitize_flags(), "-o", str(tmp)] + [str(s) for s in srcs]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, out)
+    finally:
+        if tmp.exists():
+            tmp.unlink()
 
 
 def lib() -> ctypes.CDLL:

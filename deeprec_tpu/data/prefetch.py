@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Dict, Iterator, Optional
 
 import jax
@@ -34,12 +35,16 @@ class Prefetcher:
         self._sharding = sharding
         self._done = object()
         self._err: Optional[BaseException] = None
+        self._finished = False
+        self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         try:
             for item in self._src:
+                if self._stop:
+                    return
                 if self._to_device:
                     if self._sharding is not None:
                         shardings = jax.tree.map(lambda _: self._sharding, item)
@@ -56,12 +61,41 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        # once exhausted/errored, stay that way: the sentinel arrives only
+        # once, and a blocking q.get() after it would deadlock the caller
+        # (iterator protocol requires repeated StopIteration — round-4
+        # review)
+        if self._finished:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
         item = self._q.get()
         if item is self._done:
+            self._finished = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self):
+        """Stop the producer and release staged batches: drains the queue
+        so the (possibly blocked) producer thread sees the stop flag and
+        exits, freeing its device-resident buffers and the upstream
+        iterator (round-4 review: abandoning a Prefetcher pinned
+        depth+1 batches in HBM for the process lifetime)."""
+
+        self._stop = True
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    break
+                time.sleep(0.01)
+                continue
+            if item is self._done:
+                break
+        self._finished = True
 
 
 def smart_stage(it, depth: int = 2, sharding=None) -> Prefetcher:

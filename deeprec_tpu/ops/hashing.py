@@ -70,7 +70,9 @@ def bucket(keys: jnp.ndarray, num_buckets: int, salt: int = 0) -> jnp.ndarray:
     h = hash_to_u32(keys, salt)
     if num_buckets & (num_buckets - 1) == 0:
         return (h & jnp.uint32(num_buckets - 1)).astype(jnp.int32)
-    # Lemire fast range reduction: (h * n) >> 32, without u64 via two u32 muls.
+    # Plain modulo (NOT Lemire fast-range): the numpy twin bucket_np must
+    # stay bit-identical for reshard-on-restore routing, and % is the
+    # simplest form that matches on both.
     return (h % jnp.uint32(num_buckets)).astype(jnp.int32)
 
 

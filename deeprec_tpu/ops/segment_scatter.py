@@ -334,9 +334,11 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
                      _interpret=False):
     """``zeros([cap, D]).at[dst].add(rows)`` with dst >= cap rows dropped.
 
-    Drop-in for the sparse-apply gradient accumulate.  Dispatches to the
-    Pallas segment kernel on TPU at production shapes; anything else
-    (CPU mesh tests, tiny tables, exotic dtypes/dims) uses the XLA scatter.
+    Drop-in for the sparse-apply gradient accumulate.  Default dispatch is
+    the XLA scatter at EVERY shape (round-4 re-verdict; CLAUDE.md): the
+    Pallas stream/chunked/kernel strategies are measured alternates kept
+    reachable via ``_force`` with parity tests, to re-A/B on a backend
+    bump.
 
     ``dedup=False`` skips the run-aggregation (sort + permute only — a
     shorter dependency chain); the kernel sums duplicate ids natively, and
@@ -400,7 +402,14 @@ def scatter_add_rows(dst, rows, cap, *, terms=2, dedup=True, _force=None,
         if d_pad != d:
             rows = jnp.concatenate(
                 [rows, jnp.zeros((n, d_pad - d), rows.dtype)], axis=1)
-        out = _stream_path(dst, rows, cap, OUTER, W_OUT, min(512, n), terms,
+        # BIN must stay sublane-tile aligned: window starts are multiples
+        # of BIN, and Mosaic DMA slices must cover whole (8, 128) tiles —
+        # a pow2 >= 8 is always 8-aligned (round-4 review: BIN=min(512, n)
+        # mis-aligned for n < 512 and divided by zero at n == 0).
+        if n == 0:
+            return jnp.zeros((cap, d), rows.dtype)
+        bin_rows = min(512, max(8, _pow2ceil(n)))
+        out = _stream_path(dst, rows, cap, OUTER, W_OUT, bin_rows, terms,
                            _interpret)
         return out[:, :d] if d_pad != d else out
 

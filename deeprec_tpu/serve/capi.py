@@ -39,10 +39,18 @@ def build_library() -> str:
     ver = sysconfig.get_config_var("LDVERSION") or "3.12"
     from deeprec_tpu.data.native import sanitize_flags
 
+    # temp-then-rename: concurrent builders must never dlopen a
+    # partially-written .so (same contract as data/native._build)
+    tmp = out.with_name(f"{out.name}.tmp.{os.getpid()}")
     cmd = ["g++", "-O2", "-shared", "-fPIC", *sanitize_flags(), str(_SRC),
            f"-I{inc}", f"-L{libdir}", f"-lpython{ver}",
-           f"-Wl,-rpath,{libdir}", "-o", str(out)]
-    subprocess.run(cmd, check=True, capture_output=True)
+           f"-Wl,-rpath,{libdir}", "-o", str(tmp)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, out)
+    finally:
+        if tmp.exists():
+            tmp.unlink()
     return str(out)
 
 

@@ -266,3 +266,67 @@ def test_device_proxy_matches_host_distribution():
     auc = auc_numpy(logits, labels)
     host_bayes = cp.bayes_auc(cp.CriteoKaggleProxy(batch_size=4096), 8)
     assert abs(auc - host_bayes) < 0.02
+
+def test_parquet_row_group_boundaries_and_nulls(tmp_path):
+    """Round-4 review fixes: (a) pyarrow batches never span row groups, so
+    short boundary batches must be stitched, not dropped; (b) parquet
+    nulls map to 0 like the TSV parser's missing fields."""
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deeprec_tpu.data.criteo import CriteoParquet
+    from deeprec_tpu.models import base
+
+    rng = np.random.RandomState(1)
+    n = 500
+    cols = {base.LABEL_COLUMN: rng.randint(0, 2, n).astype(np.float32)}
+    for c in base.CONTINUOUS_COLUMNS:
+        v = rng.randint(0, 100, n).astype(np.float64).tolist()
+        v[3] = None  # missing dense field
+        cols[c] = pa.array(v, pa.float64())
+    for c in base.CATEGORICAL_COLUMNS:
+        v = rng.randint(0, 2 ** 31, n).astype(np.int64).tolist()
+        v[7] = None  # missing categorical
+        cols[c] = pa.array(v, pa.int64())
+    p = str(tmp_path / "part.parquet")
+    # row groups of 150: every group boundary yields a short pyarrow batch
+    pq.write_table(pa.table(cols), p, row_group_size=150)
+
+    batches = list(CriteoParquet([p], batch_size=128))
+    # 500 rows -> 3 full batches of 128 (the 116-row tail is dropped, as
+    # with any fixed-shape reader); the OLD code lost rows at every
+    # 150-row group boundary and emitted 0 batches
+    assert len(batches) == 3
+    total = sum(len(b["label"]) for b in batches)
+    assert total == 384
+    for b in batches:
+        assert np.isfinite(b["dense"]).all()
+
+
+def test_prefetcher_repeated_stopiteration_and_close():
+    """Round-4 review fixes: next() after exhaustion raises StopIteration
+    again (never deadlocks), and close() releases the producer."""
+
+    from deeprec_tpu.data.prefetch import Prefetcher
+
+    p = Prefetcher(iter([{"a": 1}, {"a": 2}]), depth=2, to_device=False)
+    assert len(list(p)) == 2
+    import pytest
+
+    with pytest.raises(StopIteration):
+        next(p)
+    with pytest.raises(StopIteration):
+        next(p)
+
+    def infinite():
+        i = 0
+        while True:
+            yield {"i": i}
+            i += 1
+
+    p2 = Prefetcher(infinite(), depth=2, to_device=False)
+    assert next(p2)["i"] == 0
+    p2.close()
+    p2._thread.join(timeout=5)
+    assert not p2._thread.is_alive()

@@ -444,3 +444,33 @@ def test_key_slot_reference_vectors():
     assert key_slot("foo") == 12182          # redis-cli CLUSTER KEYSLOT foo
     assert key_slot("{foo}bar") == 12182     # hash tag
     assert key_slot("") == 0
+
+def test_kafka_jumbo_message_and_trailing_newlines():
+    """Round-4 review fixes: one jumbo message carrying several batches
+    drains them ALL (the old loop parsed only on message arrival and
+    stalled), and newline-terminated producer values do not inject
+    phantom all-missing rows."""
+
+    from deeprec_tpu.data.kafka import FakeKafkaBroker, KafkaStream
+    from deeprec_tpu.data.synthetic import SyntheticCriteo
+
+    gen = SyntheticCriteo(batch_size=96, num_ids_per_col=50, seed=5)
+    b = next(iter(gen))
+    lines = []
+    for r in range(96):
+        cols = ([str(int(b["label"][r]))]
+                + [f"{x:.4f}" for x in np.asarray(b["dense"][r])]
+                + [format(int(v[r]) & 0xFFFFFFFF, "x")
+                   for v in b["cat"].values()])
+        lines.append("\t".join(cols))
+    broker = FakeKafkaBroker()
+    # ONE message holding 3 full batches, already newline-terminated
+    broker.produce("clicks", ("\n".join(lines) + "\n").encode())
+
+    stream = KafkaStream(topics=["clicks"], batch_size=32,
+                         consumer_factory=broker.consumer,
+                         max_empty_polls=3, poll_timeout=0)
+    batches = list(stream)
+    assert len(batches) == 3
+    got_labels = np.concatenate([bb["label"] for bb in batches])
+    np.testing.assert_array_equal(got_labels, b["label"])  # no phantom rows
