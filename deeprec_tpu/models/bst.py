@@ -25,10 +25,12 @@ def _specs():
         "item": base.TableSpec(
             name="item", dim=EMB_DIM, group="bst_emb",
             shared_features=("hist_item",), initial_capacity=2 ** 16,
+            seq_len=SEQ_LEN,
         ),
         "category": base.TableSpec(
             name="category", dim=EMB_DIM, group="bst_emb",
             shared_features=("hist_category",), initial_capacity=2 ** 12,
+            seq_len=SEQ_LEN,
         ),
     }
 

@@ -17,15 +17,20 @@ HIDDEN_GRU = 64
 HIDDEN = [200, 80, 1]
 
 
+SEQ_LEN = 30          # default history length (reference MAX_SEQ_LENGTH=50)
+
+
 def _specs():
     return {
         "item": base.TableSpec(
             name="item", dim=EMB_DIM, group="dien_emb",
             shared_features=("hist_item",), initial_capacity=2 ** 16,
+            seq_len=SEQ_LEN,
         ),
         "category": base.TableSpec(
             name="category", dim=EMB_DIM, group="dien_emb",
             shared_features=("hist_category",), initial_capacity=2 ** 12,
+            seq_len=SEQ_LEN,
         ),
     }
 

@@ -177,7 +177,6 @@ def gru_apply(p: Params, xs: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
 
     ms = None if mask is None else jnp.moveaxis(mask, 1, 0)
     xs_t = jnp.moveaxis(xs, 1, 0)
-    inputs = (xs_t, ms) if ms is not None else (xs_t, [None] * l)
     if ms is None:
         final, outs = jax.lax.scan(lambda h, x: step(h, (x, None)), h0, xs_t)
     else:

@@ -73,7 +73,9 @@ def initialize(model_entry: str, model_config: str):
 def process(proc, request_bytes: bytes) -> bytes:
     req = json.loads(request_bytes.decode("utf-8"))
     dense = np.asarray(req["dense"], np.float32)
-    cat = {k: np.asarray(v, np.int32) for k, v in req.get("cat", {}).items()}
+    from deeprec_tpu.serve.processor import cast_cat
+
+    cat = {k: cast_cat(v) for k, v in req.get("cat", {}).items()}
     scores = proc.predict({"dense": dense, "cat": cat})
     return json.dumps(
         {"scores": np.asarray(scores, np.float64).round(7).tolist()}

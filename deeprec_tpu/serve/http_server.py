@@ -178,8 +178,9 @@ def make_handler(target):
                     return
                 request = {
                     "dense": np.asarray(req["dense"], np.float32),
-                    "cat": {k: np.asarray(v, np.int32)
-                            for k, v in req["cat"].items()},
+                    # cast_cat: float columns are combiner weights and
+                    # must not be truncated to int (shared wire rule)
+                    "cat": {k: cast_cat(v) for k, v in req["cat"].items()},
                 }
                 scores = proc.predict(request)
                 self._send(200, {"scores": scores.tolist()})

@@ -18,6 +18,8 @@ model_meta.json self-description is used (Processor.from_saved).
 
 from __future__ import annotations
 
+import itertools
+
 from typing import Dict, Optional
 
 from deeprec_tpu.serve.processor import Processor
@@ -92,7 +94,7 @@ class ShardedServingGroup:
                 config={**cfg, "shard_instance_index": i})
             for i in range(num_instances)
         ]
-        self._rr = 0
+        self._rr = itertools.count()  # GIL-atomic next(): thread-safe RR
 
     def predict(self, request) -> "np.ndarray":
         import numpy as np
@@ -100,8 +102,7 @@ class ShardedServingGroup:
         from deeprec_tpu.parallel.tiers import shard_of_np
         from deeprec_tpu.train.loop import host_group_keys
 
-        proc = self.procs[self._rr % self.num_instances]
-        self._rr += 1
+        proc = self.procs[next(self._rr) % self.num_instances]
         trainer = proc._trainer
         # compose this request's physical keys exactly like the lookup will
         any_t = next(iter(trainer.tables.values()))

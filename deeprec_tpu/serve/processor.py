@@ -24,6 +24,7 @@ Request format: {"cat": {col: np.ndarray}, "dense": np.ndarray} → scores
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import json
 import os
 import queue
@@ -51,6 +52,11 @@ DEFAULT_CONFIG = {
     # model_config.cc): a JSONL file of {"dense": [[..]], "cat": {..}}.
     "warmup_file_name": None,
     "feature_store_type": "memory",
+    # redis / cluster_redis: a shared parameter store consulted per request
+    # for ids MISSING from the local tables (redis_feature_store.{h,cc}
+    # role); a training job publishes rows via
+    # feature_store.RedisFeatureStore.publish_table.
+    "feature_store_url": "redis://localhost:6379",
     # Lane dispatch (select_session_policy, model_config.cc): "shared" = one
     # queue drained by all lanes (least-loaded by construction); "round_robin"
     # = requests assigned to lanes in turn (per-lane FIFO ordering).
@@ -93,6 +99,19 @@ class Processor:
             model = get_model(model)
         self.model = model
         self.config = {**DEFAULT_CONFIG, **(config or {})}
+        fst = self.config["feature_store_type"]
+        if fst in ("redis", "cluster_redis"):
+            from deeprec_tpu.serve.feature_store import RedisFeatureStore
+
+            self._fstore = RedisFeatureStore(
+                url=self.config["feature_store_url"],
+                cluster=(fst == "cluster_redis"))
+        elif fst == "memory":
+            self._fstore = None
+        else:
+            raise ValueError(
+                f"unknown feature_store_type {fst!r} "
+                "(memory | redis | cluster_redis)")
         self._trainer = Trainer(
             model=model,
             tables=table_templates or base.make_tables(model),
@@ -114,7 +133,7 @@ class Processor:
             self._lane_queues = [queue.Queue() for _ in range(n_lanes)]
         else:
             self._lane_queues = [queue.Queue()] * n_lanes
-        self._rr = 0
+        self._rr = itertools.count()  # GIL-atomic next(): thread-safe RR
         self._tiers = None
 
     # -- lifecycle ----------------------------------------------------------
@@ -174,12 +193,28 @@ class Processor:
 
     def shutdown(self):
         self._stop.set()
+        # Drain queued-but-unserved requests with a clear error: a caller
+        # blocked in out.get() must never hang forever because its request
+        # was abandoned mid-queue (round-4 review).
+        for q in getattr(self, "_lane_queues", ()):
+            while True:
+                try:
+                    _req, out = q.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    out.put_nowait(RuntimeError("processor shut down"))
+                except queue.Full:
+                    pass
 
     def get_serving_model_info(self) -> Dict:
+        with self._state_lock:   # the poller mutates these during ingest
+            version = self._loaded_version
+            deltas = sorted(self._applied_deltas)
         return {
             "model": self.model.name,
-            "version": self._loaded_version,
-            "deltas_applied": sorted(self._applied_deltas),
+            "version": version,
+            "deltas_applied": deltas,
             "session_num": self.config["session_num"],
             "select_session_policy": self._policy,
             "ev_storage": bool(self._tiers),
@@ -320,10 +355,14 @@ class Processor:
         the live tables are NOT modified (read-through, like tiered eval)."""
 
         n = len(request["dense"])
+        if n == 0:
+            return np.zeros((0,), np.float32)
         b = self._bucket(n)
         batch = self._pad(request, b)
         with self._state_lock:
             state = self._state
+        if self._fstore is not None:
+            remote_rows = self._merge_store_rows(state, request, remote_rows)
         if remote_rows:
             tables = dict(state.tables)
             for pname, (keys, rows) in remote_rows.items():
@@ -336,6 +375,43 @@ class Processor:
         logits, _ = self._trainer.eval_step(state, batch)
         return np.asarray(jax.nn.sigmoid(
             jnp.asarray(logits, jnp.float32)))[:n]
+
+    def _merge_store_rows(self, state, request: Dict,
+                          remote_rows: Optional[Dict]) -> Dict:
+        """Fetch this request's locally-MISSING ids from the shared feature
+        store (feature_store_type=redis/cluster_redis) and merge them into
+        ``remote_rows`` — the multi-instance shared-parameter serving mode
+        (redis_feature_store.cc): instances hold hot rows locally and read
+        the long tail through Redis."""
+
+        from deeprec_tpu.embedding import table as ev
+        from deeprec_tpu.train.loop import host_group_keys
+
+        trainer = self._trainer
+        any_t = next(iter(state.tables.values()))
+        empty = int(np.iinfo(np.dtype(any_t.key_dtype.name)).min)
+        gk = host_group_keys(self.model, trainer.plan, request, empty)
+        merged = dict(remote_rows or {})
+        for pname, keys in gk.items():
+            t = state.tables[pname]
+            uids = np.unique(np.asarray(keys)[np.asarray(keys) != empty])
+            if len(uids) == 0:
+                continue
+            have = np.asarray(jax.device_get(
+                ev.contains(t, jnp.asarray(uids, t.key_dtype))))
+            need = uids[~have]
+            if len(need) == 0:
+                continue
+            rows, found = self._fstore.lookup(pname, need, t.dim)
+            if not found.any():
+                continue
+            add_k, add_r = need[found], rows[found]
+            if pname in merged and len(merged[pname][0]):
+                pk, pr = merged[pname]
+                add_k = np.concatenate([np.asarray(pk), add_k])
+                add_r = np.concatenate([np.asarray(pr), add_r])
+            merged[pname] = (add_k, add_r)
+        return merged
 
     def _warmup(self):
         for b in self.config["bucket_sizes"]:
@@ -387,8 +463,7 @@ class Processor:
 
         out: "queue.Queue" = queue.Queue(maxsize=1)
         if self._policy == "round_robin":
-            lane = self._rr % len(self._lane_queues)
-            self._rr += 1
+            lane = next(self._rr) % len(self._lane_queues)
         else:
             lane = 0  # shared queue: all lanes drain the same one
         self._lane_queues[lane].put((request, out))

@@ -94,12 +94,38 @@ class RespClient:
         return self.pipeline([args])[0]
 
     def pipeline(self, commands: Sequence[Tuple]) -> List[object]:
-        """Send N commands in one write, read N replies."""
+        """Send N commands in one write, read N replies.
+
+        ALL N replies are consumed before any error reply is raised —
+        raising mid-read would leave the remaining replies buffered on
+        the connection and permanently desync every later command
+        (round-4 review: a -MOVED in the middle of a cluster mset made
+        subsequent GETs read stale leftover replies)."""
+
         payload = b"".join(
             encode_command(*[_as_bytes(a) for a in cmd]) for cmd in commands)
         with self._lock:
             self._sock.sendall(payload)
-            return [self._reader.read_reply() for _ in commands]
+            out = []
+            first_err = None
+            for _ in commands:
+                try:
+                    out.append(self._reader.read_reply())
+                except RedisError as e:
+                    out.append(e)
+                    if first_err is None:
+                        first_err = e
+        if first_err is not None:
+            raise first_err
+        return out
+
+    def execute_pair(self, first: Tuple, second: Tuple) -> object:
+        """Two commands under ONE lock hold; returns the second's reply.
+        Needed for ASKING + command, whose one-shot flag a concurrent
+        command on the shared connection could otherwise consume."""
+
+        replies = self.pipeline([first, second])
+        return replies[1]
 
     # convenience verbs used by the feature store
     def ping(self) -> bool:
@@ -258,8 +284,20 @@ class ClusterRespClient:
                     _, _, addr = msg.split(" ", 2)
                     host, _, port = addr.partition(":")
                     c = self._conn((host, int(port)))
-                    c.execute("ASKING")
-                    return c.execute(*args)
+                    try:
+                        # atomic ASKING+command (one lock hold): a
+                        # concurrent command must not consume the one-shot
+                        # ASKING flag (round-4 review)
+                        return c.execute_pair(("ASKING",), tuple(args))
+                    except RedisError as e2:
+                        # the importing node may answer -MOVED once the
+                        # migration completes — retry through the loop
+                        if str(e2).startswith("MOVED "):
+                            _, _, addr2 = str(e2).split(" ", 2)
+                            h2, _, p2 = addr2.partition(":")
+                            self._slot_map[key_slot(k)] = (h2, int(p2))
+                            continue
+                        raise
                 raise
         raise RedisError("MOVED redirect loop")
 

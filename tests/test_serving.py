@@ -624,3 +624,56 @@ def test_predict_accepts_truncated_sequence_widths(tmp_path):
     short = p.predict({"dense": b["dense"], "cat": cat5})
     np.testing.assert_array_equal(np.asarray(full), np.asarray(short))
     p.shutdown()
+
+def test_feature_store_redis_serving_mode(tmp_path):
+    """Round-4 review fix: feature_store_type='redis' is WIRED — ids
+    missing from the local tables are fetched from the shared Redis store
+    per request (redis_feature_store.cc role), so an instance holding only
+    hot rows scores identically to one holding everything."""
+
+    import jax.numpy as jnp
+
+    from deeprec_tpu.embedding import table as evt
+    from deeprec_tpu.serve.feature_store import RedisFeatureStore
+    from deeprec_tpu.serve.resp import MiniRedisServer
+
+    model, tr, state, it = _train_and_save(tmp_path)
+    full = Processor(model, {"session_num": 1, "bucket_sizes": [128],
+                             "warmup": False})
+    full.initialize(str(tmp_path))
+
+    srv = MiniRedisServer().start()
+    try:
+        # publish EVERY table's live rows to redis, then serve from a
+        # processor whose local tables had half their keys REMOVED
+        fs = RedisFeatureStore(url=srv.url)
+        part_dir = str(tmp_path / "partial")
+        import jax as _jax
+
+        tables = dict(state.tables)
+        for name, t in tables.items():
+            keys, values, _, _, live = (np.asarray(_jax.device_get(x))
+                                        if x is not None else None
+                                        for x in evt.export_live(t))
+            live = live.astype(bool)
+            fs.publish_table(name, keys[live].astype(np.int64), values[live])
+            drop = keys[live][::2]          # remove every other key
+            tables[name] = evt.remove(t, jnp.asarray(drop, t.key_dtype))
+        saver.save_checkpoint(part_dir, state.replace(tables=tables))
+
+        p = Processor(model, {"session_num": 1, "bucket_sizes": [128],
+                              "warmup": False,
+                              "feature_store_type": "redis",
+                              "feature_store_url": srv.url})
+        p.initialize(part_dir)
+        b = next(it)
+        req = {"dense": b["dense"][:64],
+               "cat": {k: v[:64] for k, v in b["cat"].items()}}
+        want = full.predict(req)
+        got = p.predict(req)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        fs.close()
+        p.shutdown()
+        full.shutdown()
+    finally:
+        srv.stop()
