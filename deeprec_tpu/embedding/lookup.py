@@ -111,9 +111,11 @@ def combine(
         raise ValueError(f"unknown combiner {combiner}")
     # Divide by the TRUE weight sum (embedding_lookup_sparse semantics) —
     # clamping the denominator to 1 would silently shrink activations
-    # whenever an example's combiner weights sum below 1 (round-4 review).
-    # Only the all-padding / all-zero-weight case maps to zeros.
-    return jnp.where(denom > 0, out / jnp.where(denom > 0, denom, 1), 0)
+    # whenever an example's combiner weights sum below 1, and negative
+    # weight sums are legitimate (round-4 review).  Only the all-padding /
+    # zero-sum case maps to zeros.
+    nz = denom != 0
+    return jnp.where(nz, out / jnp.where(nz, denom, 1), 0)
 
 
 def sequence_embedding(

@@ -218,12 +218,19 @@ def create(
 
 def with_slot(table: EmbeddingTable, slot_name: str, width: Optional[int] = None,
               init: float = 0.0) -> EmbeddingTable:
-    """Attach an optimizer slot variable sharing the table's key space."""
+    """Attach an optimizer slot variable sharing the table's key space.
+
+    Width-1 slots are BOOKKEEPING (per-row beta powers, decay periods):
+    they stay f32 even on bf16-valued tables — a bf16 period counter
+    cannot represent integers past 256 and bf16 beta powers keep ~3
+    significant digits, silently corrupting bias correction / decay lag
+    (round-4 review).  Full-width slots follow the table dtype."""
 
     if slot_name in table.slots:
         return table
     w = table.dim if width is None else width
-    slot = jnp.full((table.capacity, w), init, table.value_dtype)
+    dt = jnp.float32 if w == 1 else table.value_dtype
+    slot = jnp.full((table.capacity, w), init, dt)
     return table.replace(
         slots={**table.slots, slot_name: slot},
         slot_inits=table.slot_inits + ((slot_name, float(init)),),
@@ -577,7 +584,8 @@ def _lookup_phase(
             slot_arrays = dict(slot_arrays)
             for sname, sinit in table.slot_inits:
                 slot_arrays[sname] = slot_arrays[sname].at[chunk_slot].set(
-                    jnp.asarray(sinit, table.value_dtype), mode="drop")
+                    jnp.asarray(sinit, slot_arrays[sname].dtype),
+                    mode="drop")
             if versions is not None:
                 versions = versions.at[chunk_slot].set(step, mode="drop")
             # Incremental-checkpoint correctness: an inserted key must land

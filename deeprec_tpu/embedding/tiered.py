@@ -293,7 +293,8 @@ def _promote_body(table, keys, rows, freqs, *, slot_names, slot_widths, dim):
     slots_d = dict(table.slots)
     for name, w in zip(slot_names, slot_widths):
         slots_d[name] = table.slots[name].at[dst].set(
-            rows[:, off:off + w].astype(table.value_dtype), mode="drop")
+            rows[:, off:off + w].astype(table.slots[name].dtype),
+            mode="drop")
         off += w
     versions = table.versions
     if versions is not None:

@@ -46,11 +46,13 @@ def adagrad_decay(
             a = a + jnp.square(g)
             return -learning_rate * g * jax.lax.rsqrt(a + epsilon), a
 
-        flat = jax.tree.map(upd, updates, state.accumulator)
-        new_updates = jax.tree.map(lambda t: t[0], flat,
-                                   is_leaf=lambda x: isinstance(x, tuple))
-        new_acc = jax.tree.map(lambda t: t[1], flat,
-                               is_leaf=lambda x: isinstance(x, tuple))
+        # Two parallel maps, NOT a tuple-leaf map: an is_leaf=tuple
+        # unpacking would stop at tuple/NamedTuple CONTAINER nodes of the
+        # params pytree itself and scramble updates/state (round-4 review).
+        new_updates = jax.tree.map(lambda g, a: upd(g, a)[0],
+                                   updates, state.accumulator)
+        new_acc = jax.tree.map(lambda g, a: upd(g, a)[1],
+                               updates, state.accumulator)
         return new_updates, AdagradDecayState(new_acc, step)
 
     return optax.GradientTransformation(init, update)
@@ -68,7 +70,6 @@ def adam_async(
     b1: float = 0.9,
     b2: float = 0.999,
     epsilon: float = 1e-8,
-    sparse_apply: bool = True,
 ) -> optax.GradientTransformation:
     """ApplyAdamAsync: power accumulators carried in state (not recomputed
     from a global step), matching the async-PS-safe formulation."""

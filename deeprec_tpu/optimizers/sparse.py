@@ -203,7 +203,7 @@ def _apply_dense(table, lk, grad, step, hyper, *, update, slot_names,
     values = jnp.where(m, new_params.astype(table.value_dtype), table.values)
     slots = dict(table.slots)
     for n in slot_names:
-        slots[n] = jnp.where(m, new_slots[n].astype(table.value_dtype),
+        slots[n] = jnp.where(m, new_slots[n].astype(table.slots[n].dtype),
                              table.slots[n])
     versions = table.versions
     if versions is not None:
@@ -303,8 +303,8 @@ def _apply_compact(table, lk, grad, step, hyper, *, update, slot_names,
         new_p, new_s = update(p, s, gs, ctx)
         out = [arrs[0].at[sl].set(new_p.astype(dt), mode="drop")]
         for j, name in enumerate(slot_names):
-            out.append(arrs[1 + j].at[sl].set(new_s[name].astype(dt),
-                                              mode="drop"))
+            out.append(arrs[1 + j].at[sl].set(
+                new_s[name].astype(arrs[1 + j].dtype), mode="drop"))
         if versions is not None:
             versions = versions.at[sl].set(step, mode="drop")
         if touched is not None:
@@ -372,7 +372,13 @@ def _adagrad_decay_update(p, s, g, ctx):
     # applied when the row's recorded decay period lags the global one.
     period = (ctx["step"] // ctx["decay_step"]).astype(jnp.float32)
     row_period = s["decay_counter"]  # [U, 1] — last decay period applied to row
-    lag = jnp.maximum(period - row_period[:, 0], 0.0)
+    # A FRESH row (sentinel counter < 0) starts at the CURRENT period: a
+    # key that did not exist cannot have lived through past decay periods
+    # — decaying its initial accumulator by decay_rate^period gave late-
+    # inserted keys a near-unbounded first step (round-4 review; the dense
+    # twin decays only incrementally).
+    prev = jnp.where(row_period[:, 0] < 0.0, period, row_period[:, 0])
+    lag = jnp.maximum(period - prev, 0.0)
     decay = jnp.power(ctx["decay_rate"], lag)[:, None]
     a = jnp.maximum(s["accumulator"] * decay, ctx["decay_baseline"])
     a = a + jnp.square(g)
@@ -387,7 +393,7 @@ def adagrad_decay(lr: float = 0.01, initial_accumulator_value: float = 0.1,
         name="AdagradDecay",
         slot_names=("accumulator", "decay_counter"),
         slot_widths=(None, 1),
-        slot_inits=(initial_accumulator_value, 0.0),
+        slot_inits=(initial_accumulator_value, -1.0),
         update=_adagrad_decay_update,
         hyper={"lr": lr, "decay_step": decay_step, "decay_rate": decay_rate,
                "decay_baseline": decay_baseline},

@@ -37,17 +37,34 @@ def initialize(coordinator_address: Optional[str] = None,
 
     import jax
 
-    if num_processes is None:
-        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    if num_processes > 1 or coordinator_address is not None:
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    if num_processes is None and env_np is not None:
+        num_processes = int(env_np)
+    if num_processes is not None and num_processes > 1 \
+            or coordinator_address is not None:
+        # Explicit configuration.  process_id stays None unless given —
+        # jax.distributed resolves it from its cluster environment; a
+        # blanket default of 0 would make EVERY process claim id 0.
         jax.distributed.initialize(
             coordinator_address=coordinator_address
             or os.environ.get("JAX_COORDINATOR_ADDRESS"),
             num_processes=num_processes,
-            process_id=process_id
-            if process_id is not None
-            else int(os.environ.get("JAX_PROCESS_ID", "0")),
+            process_id=process_id if process_id is not None
+            else (int(os.environ["JAX_PROCESS_ID"])
+                  if "JAX_PROCESS_ID" in os.environ else None),
         )
+    elif num_processes is None:
+        # Nothing explicit: let jax.distributed AUTO-DETECT (TPU-pod
+        # metadata, GKE, Slurm cluster plugins).  The round-4 review
+        # caught the old behavior — skipping initialize entirely — which
+        # on a pod slice silently built a local-devices-only mesh and let
+        # every host train an independent replica.  Where no cluster
+        # environment exists, auto-detection raises and single-process
+        # operation proceeds.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # no cluster environment: single process
     from jax.sharding import Mesh
 
     return Mesh(np.asarray(jax.devices()), (axis_name,))
