@@ -110,9 +110,16 @@ def main():
     pend = jax.tree.leaves(s2.pending)
     out["staleness_fifo_bytes"] = int(sum(x.size * x.dtype.itemsize
                                           for x in pend))
+    # round-5: FIFO entries buffer only the exchange-bucket representation
+    # — prove capacity-independence by rebuilding at 8x the per-shard
+    # capacity with the same batch and re-measuring.
+    tr2b, s2b, _ = build(staleness=2, cap=2 ** 15)
+    out["staleness_fifo_bytes_cap8x"] = int(sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(s2b.pending)))
     out["staleness_fifo_note"] = (
-        "k FIFO slots x (per-table [S*CAP, D] grad plane + [S*CAP] count "
-        "plane + step tag); grows with TABLE CAPACITY, not batch")
+        "k FIFO slots x per-table exchange-bucket state (ids/counts/"
+        "routing + [S*bucket_cap, D] grads); batch-proportional — "
+        "capacity-independent by construction (cap8x row must match)")
 
     # 3: fused multi-step dispatch
     trf, sf, btf = build(staleness=0)

@@ -437,17 +437,23 @@ def _cbf_add(cbf: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
     dt = cbf.dtype
     cap = jnp.asarray(jnp.iinfo(dt).max, jnp.int32)
     safe_counts = jnp.where(valid, counts, 0).astype(jnp.int32)
-    # Accumulate in int32 and clamp BEFORE casting back: a narrow-dtype
-    # scatter-add wraps, and a wrapped-value-still-above-prior result (an
-    # int8 counter gaining +300 in one batch) slips past any post-hoc
-    # "went down" check (round-4 review) — hot ids would then read a tiny
-    # count and be refused admission.
-    wide = cbf.astype(jnp.int32)
+    # Accumulate the per-BATCH delta in its own int32 plane (bounded by
+    # batch size x k — cannot overflow), then saturating-add it onto the
+    # stored counters without ever forming a sum that can wrap: a
+    # narrow-dtype in-place scatter-add wraps (an int8 counter gaining
+    # +300 in one batch slips past any post-hoc "went down" check —
+    # round-4 review), and an int32 counter already clamped at 2^31-1
+    # wraps NEGATIVE in an int32 accumulator, denying admission to
+    # provably-hot ids (round-5 advice).  `delta >= room` decides
+    # saturation before any overflowing add is issued.
+    delta = jnp.zeros((m,), jnp.int32)
     for i in range(k):
         pos = hashing.bucket(ids, m, salt=101 + i)
-        wide = wide.at[jnp.where(valid, pos, m)].add(safe_counts,
-                                                     mode="drop")
-    return jnp.minimum(wide, cap).astype(dt)
+        delta = delta.at[jnp.where(valid, pos, m)].add(safe_counts,
+                                                       mode="drop")
+    base = cbf.astype(jnp.int32)
+    room = cap - base  # >= 0: stored counters are always clamped to cap
+    return jnp.where(delta >= room, cap, base + delta).astype(dt)
 
 
 # ---------------------------------------------------------------------------

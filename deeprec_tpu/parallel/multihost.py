@@ -63,8 +63,18 @@ def initialize(coordinator_address: Optional[str] = None,
         # operation proceeds.
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # no cluster environment: single process
+        except Exception as e:  # no cluster environment: single process
+            # Loud fallback: on a real pod slice a TRANSIENT coordinator /
+            # metadata failure lands here too, and silently training
+            # independent per-host replicas is the exact failure mode the
+            # auto-detect path exists to prevent (round-5 advice).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jax.distributed.initialize() auto-detection failed (%s: %s)"
+                " — proceeding SINGLE-PROCESS. If this job is meant to span"
+                " multiple hosts, pass coordinator_address/num_processes/"
+                "process_id explicitly.", type(e).__name__, e)
     from jax.sharding import Mesh
 
     return Mesh(np.asarray(jax.devices()), (axis_name,))

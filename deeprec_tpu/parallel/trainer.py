@@ -401,8 +401,19 @@ class DistributedTrainer:
                         bucket_factor=self.bucket_factor)
                     fifo = pending[pname]
                     old_lk, old_g = fifo[0]
+                    # Buffer the COMPACT exchange-bucket representation
+                    # only: the owner-side Lookup minus its [C_local]
+                    # slot_counts plane.  Every remaining member is sized
+                    # by the exchange bucket (batch-proportional), so the
+                    # FIFO footprint is O(k x exchange-cap x D) — matching
+                    # the reference's async-embedding stage, which buffers
+                    # one step's lookup tensors, not table state
+                    # (config.proto:328).  The apply recomputes the count
+                    # plane from (slot_ids, counts) with one scalar
+                    # scatter (sparse.py fallback — identical semantics).
                     pending[pname] = tuple(fifo[1:]) + (
-                        (ctxs[pname].owner_lk, g_flat),)
+                        (ctxs[pname].owner_lk.replace(slot_counts=None),
+                         g_flat),)
                     tables[pname] = self.sparse_optimizer.apply(
                         tables[pname], old_lk, old_g,
                         step=state.step, use_counts=self.use_counts)
@@ -536,11 +547,13 @@ class DistributedTrainer:
                                  np.iinfo(np.int32).max, np.int32)),
                     admitted=put(np.zeros((S * n_o,), bool)),
                     valid=put(np.zeros((S * n_o,), bool)),
-                    # owner-side lookups carry a [C_local] count plane per
-                    # shard -> [S * C_local] here (FIFO pytree must match)
-                    slot_counts=put(np.zeros(
-                        (int(t.keys.shape[0]) * int(t.keys.shape[1]),),
-                        np.int32)),
+                    # NO slot_counts plane: FIFO entries carry only the
+                    # batch-proportional exchange-bucket state — a [C_local]
+                    # count plane per slot would make the FIFO scale with
+                    # TABLE CAPACITY (k x S x C x 4 B per table, GBs at
+                    # production shapes; round-5 verdict).  The push side
+                    # strips it too, so the pytree matches.
+                    slot_counts=None,
                 )
                 g = put(np.zeros((S * n_o, t.dim), val_np))
                 return lk, g

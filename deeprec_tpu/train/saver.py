@@ -129,9 +129,14 @@ def _one_shard(table: ev.EmbeddingTable, s: int) -> ev.EmbeddingTable:
 
     if table.keys.ndim == 1:
         return table
-    from deeprec_tpu.parallel.trainer import local_view
+    from deeprec_tpu.parallel.trainer import _map_stacked, local_view
 
-    return local_view(jax.tree.map(lambda x: x[s:s + 1], table))
+    # Slice ONLY the per-shard state planes (STACKED_FIELDS): a blanket
+    # tree.map would also slice replicated leaves like default_rows
+    # [pool, D] down to [1, D] / [0, D] — harmless for the current
+    # shrink+stream consumers, but a trap if the shard view is ever used
+    # for lookups/inserts (round-5 advice).
+    return local_view(_map_stacked(table, lambda x: x[s:s + 1]))
 
 
 def _table_shards(table: ev.EmbeddingTable) -> List[ev.EmbeddingTable]:

@@ -39,7 +39,38 @@ from deeprec_tpu.models import base, get_model
 from deeprec_tpu.optimizers import sparse
 from deeprec_tpu.train.loop import Trainer
 
-CRITEO_MODELS = ("wdl", "dlrm", "deepfm", "dcn", "dcnv2")
+CRITEO_MODELS = ("wdl", "dlrm", "deepfm", "dcn", "dcnv2", "masknet",
+                 "dssm", "dlrm_mlperf")
+# Multi-task heads train on the proxy too: the ctr label IS the proxy's
+# calibrated click, the conversion label is click-gated noise (the
+# SyntheticMultiTask recipe) — main-task AUC reads against the same
+# proxy ceiling (~0.806).
+MT_MODELS = ("mmoe", "esmm", "ple", "dbmtl", "simplemultitask")
+
+
+class MTProxy:
+    """Wrap a proxy generator with multi-task labels {ctr, ctcvr}:
+    ctr = the proxy's click; ctcvr = click-gated conversion (30% | click),
+    matching data/behavior.SyntheticMultiTask.  Label attachment is one
+    jitted call per batch (eager ops cost seconds on the tunnel)."""
+
+    def __init__(self, inner, seed=0):
+        self.inner, self.seed = inner, seed
+
+    def __iter__(self):
+        @jax.jit
+        def attach(label, key):
+            k, key = jax.random.split(key)
+            conv = label * (jax.random.uniform(k, label.shape)
+                            < 0.3).astype(jnp.float32)
+            return conv, key
+
+        key = jax.random.PRNGKey(self.seed + 31337)
+        for b in self.inner:
+            conv, key = attach(jnp.asarray(b["label"], jnp.float32), key)
+            b = dict(b)
+            b["labels"] = {"ctr": b["label"], "ctcvr": conv}
+            yield b
 
 
 def _sparse_opt(lr: float, schedule: str, steps: int):
@@ -64,8 +95,11 @@ def _dense_tx(name: str, lr: float, schedule: str, steps: int):
     return optax.adagrad(sched) if name == "adagrad" else optax.adam(sched)
 
 
-def eval_auc(tr, state, gen_cls, seed=777, batches=50, batch=2048):
+def eval_auc(tr, state, gen_cls, seed=777, batches=50, batch=2048,
+             mt: bool = False):
     ev_gen = gen_cls(batch_size=batch, seed=seed)
+    if mt:
+        ev_gen = MTProxy(ev_gen, seed=seed)
     it = iter(ev_gen)
     scores, labels = [], []
     for _ in range(batches):
@@ -89,11 +123,14 @@ def run(name: str, steps: int, batch: int = 2048, lr: float = 0.05,
     state = tr.init_state(jax.random.PRNGKey(0))
     gen_cls = CriteoKaggleProxy if host_data else DeviceCriteoProxy
     gen = gen_cls(batch_size=batch, seed=1)
+    mt = bool(model.tasks)
+    if mt:
+        gen = MTProxy(gen, seed=1)
     t0 = time.time()
     state = tr.fit(state, iter(gen), steps=steps,
                    log_every=max(steps // 10, 1), grow_every=16)
     dt = time.time() - t0
-    auc = eval_auc(tr, state, CriteoKaggleProxy, batch=batch)
+    auc = eval_auc(tr, state, CriteoKaggleProxy, batch=batch, mt=mt)
     live = {n: int(np.sum(np.asarray(jax.device_get(t.size))))
             for n, t in state.tables.items()}
     out = {"model": name, "tag": tag, "steps": steps,
@@ -176,7 +213,7 @@ if __name__ == "__main__":
     else:
         for m in args.models.split(","):
             m = m.strip()
-            if m in CRITEO_MODELS:
+            if m in CRITEO_MODELS or m in MT_MODELS:
                 run(m, steps=args.steps, host_data=args.host_data)
             else:
                 run_behavior(m, steps=args.steps)

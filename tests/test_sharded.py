@@ -632,3 +632,28 @@ def test_sharded_tiers_on_single_device_mesh():
             if tier.needs_demote(state.tables[n]):
                 state.tables[n] = tier.demote(state.tables[n])
     assert any(tier.cold_size > 0 for tier in tr.tiers.values())
+
+
+def test_staleness_fifo_is_batch_proportional_not_capacity():
+    """Round-5 verdict: FIFO entries must buffer only exchange-bucket-sized
+    state.  At production table sizes a capacity-proportional plane is
+    k x S x C x 4 B per table (GBs); the footprint must not move when the
+    per-shard capacity grows 8x at fixed batch."""
+
+    model = tiny_model(n_cols=2)
+    gen = SyntheticCriteo(batch_size=256, num_ids_per_col=500, seed=9)
+    batch = next(iter(gen))
+
+    def fifo_bytes(cap):
+        dt = DistributedTrainer(model=model, mesh=mesh8(),
+                                sparse_optimizer=sparse.adagrad(lr=0.05),
+                                dense_tx=optax.adagrad(0.05),
+                                per_shard_capacity=cap, staleness=2)
+        s = dt.init_state(jax.random.PRNGKey(0))
+        s, _ = dt.train_step(s, batch)  # FIFO primed + one real push
+        assert s.pending is not None
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree.leaves(s.pending))
+
+    small, big = fifo_bytes(2 ** 10), fifo_bytes(2 ** 13)
+    assert big == small, (small, big)  # capacity-independent

@@ -354,3 +354,25 @@ def test_cbf_narrow_counter_saturates_on_large_batch_counts():
     assert est == 127, est  # saturated, not wrapped
     # and the id was admitted (freq estimate >= 60 at insert time)
     assert bool(lk.slot_ids[0] < t.capacity)
+
+
+def test_cbf_int32_counter_saturated_bucket_does_not_wrap_negative():
+    """Round-5 advice fix: with the DEFAULT int32 counter dtype, a bucket
+    already clamped at 2^31-1 must stay there when more counts arrive — an
+    int32 accumulator would wrap NEGATIVE and deny admission to a
+    provably-hot id."""
+
+    opt = cfg.EmbeddingVariableOption(
+        cbf_filter=cfg.CBFFilterOption(filter_freq=3,
+                                       max_element_size=int(1e3)))
+    t = ev.create("t", dim=4, capacity=256, option=opt)
+    assert t.cbf is not None and t.cbf.dtype == jnp.int32
+    # Force every CBF bucket to the saturation cap, as years of traffic
+    # would; then stream the hot id again.
+    t = t.replace(cbf=jnp.full_like(t.cbf, jnp.iinfo(jnp.int32).max))
+    ids = jnp.full((64,), 7, jnp.int32)
+    t, lk = ev.lookup_phase(t, ids, step=0)
+    est = int(ev._cbf_probe(t.cbf, jnp.array([7], jnp.int32),
+                            ev._cbf_num_hashes(opt.cbf_filter))[0])
+    assert est == jnp.iinfo(jnp.int32).max, est  # clamped, not negative
+    assert bool(lk.admitted[lk.valid].all())  # hot id stays admitted
