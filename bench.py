@@ -88,7 +88,13 @@ def main():
     w1 = min(2000, max(MEASURE // 4, int(0.8 / max(est, 1e-5))))
     w2 = 4 * w1
     value = 0.0
-    for _ in range(2):
+    # R=3 full measurement passes, best-of (the per-config-minimum
+    # principle the ckpt bench uses): this box drifts ±45% across minutes,
+    # and a single pass inherits whatever phase it lands in — the best
+    # pass is the closest observable to the machine's capability
+    # (round-5 verdict #1a; reference anchors are converged best-case
+    # numbers, modelzoo/dlrm/README.md:164-197).
+    for _ in range(3):
         t1 = window(w1)
         t2 = window(w2)
         per_step = max((t2 - t1) / (w2 - w1), 1e-9)

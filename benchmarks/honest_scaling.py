@@ -17,14 +17,24 @@ from deeprec_tpu.train.loop import Trainer
 N_BATCHES = 16
 
 
-def measure(batch, grow=True, capacity=2 ** 16, measure_steps=32):
+def measure(batch, grow=True, capacity=2 ** 16, measure_steps=32,
+            proxy=False):
     model = dlrm.MODEL
     tables = base.make_tables(model, capacity=capacity)
     trainer = Trainer(model=model, tables=tables,
                       sparse_optimizer=sparse.adagrad(lr=0.05),
                       dense_tx=optax.adagrad(0.05), bf16=True)
     state = trainer.init_state(jax.random.PRNGKey(0))
-    gen = SyntheticCriteo(batch_size=batch, num_ids_per_col=1_000_000, seed=1)
+    if proxy:
+        # round-5: the bench anchor moved to the calibrated Kaggle proxy
+        # (round-4 re-anchor) — the batch-knee table must be re-read in
+        # the same id regime (verdict #5b)
+        from deeprec_tpu.data.criteo_proxy import CriteoKaggleProxy
+
+        gen = CriteoKaggleProxy(batch_size=batch, seed=1)
+    else:
+        gen = SyntheticCriteo(batch_size=batch, num_ids_per_col=1_000_000,
+                              seed=1)
     rng = np.random.RandomState(7)
     batches = [jax.device_put(gen.sample(rng)) for _ in range(N_BATCHES)]
     m = None
@@ -58,8 +68,11 @@ def measure(batch, grow=True, capacity=2 ** 16, measure_steps=32):
 
 
 if __name__ == "__main__":
+    import sys
+
+    proxy = "--proxy" in sys.argv
     for b in (2048, 4096, 8192, 16384):
-        measure(b)
+        measure(b, proxy=proxy)
     # capacity scaling at fixed batch (no growth: fixed 2^22 then 2^24)
     for cap in (2 ** 22, 2 ** 24):
-        measure(2048, grow=False, capacity=cap)
+        measure(2048, grow=False, capacity=cap, proxy=proxy)

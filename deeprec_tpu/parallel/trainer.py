@@ -145,6 +145,10 @@ class DistributedTrainer:
     # it matters most (the apply leaves the critical path between the
     # all-to-alls).
     staleness: int = 0
+    # Per-DEVICE HBM budget in bytes (None = unchecked): the growth-rebuild
+    # peak and the staleness FIFO fail fast with a clear error instead of
+    # an OOM mid-job (utils/budget.py; round-5 verdict #8).
+    budget_bytes: Any = None
 
     def __post_init__(self):
         if self.staleness and self.micro_batch_num > 1:
@@ -518,7 +522,7 @@ class DistributedTrainer:
         def put(x):
             return jax.device_put(x, sharding)
 
-        pending = {}
+        n_os = {}
         for pname, pspec in self.plan.physical.items():
             n_global = 0
             for lname, _ in pspec.members:
@@ -532,7 +536,21 @@ class DistributedTrainer:
                     n_global += int(np.prod(shape)) if shape else 1
             n_local = n_global // S
             cap = sh.bucket_capacity(n_local, S, self.bucket_factor)
-            n_o = S * cap  # owner-side positions per shard
+            n_os[pname] = S * cap  # owner-side positions per shard
+        if self.budget_bytes:
+            # fail BEFORE allocating: per-device FIFO = k x per-table
+            # exchange-bucket state
+            from deeprec_tpu.utils import budget
+
+            fifo = self.staleness * sum(
+                n_o * (state.tables[p].keys.dtype.itemsize + 14
+                       + state.tables[p].dim
+                       * state.tables[p].values.dtype.itemsize)
+                for p, n_o in n_os.items())
+            budget.check_staleness_fifo(state.tables, fifo, self.staleness,
+                                        self.budget_bytes)
+        pending = {}
+        for pname, n_o in n_os.items():
             t = state.tables[pname]
             key_np = np.dtype(t.keys.dtype.name)
             val_np = np.dtype(t.values.dtype.name)
@@ -733,6 +751,11 @@ class DistributedTrainer:
                 max_size = int(jax.device_get(jnp.max(t.size)))
                 hint = int(jax.device_get(jnp.max(t.growth_hint)))
                 if max_size > t.option.max_load_factor * cap or hint > 0:
+                    if self.budget_bytes:
+                        from deeprec_tpu.utils import budget
+
+                        budget.check_growth(tables, n, cap * 2,
+                                            self.budget_bytes)
                     tables[n] = grow_stacked(t, cap * 2)
                     changed = True
             if changed and stager is not None:

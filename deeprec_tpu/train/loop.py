@@ -223,6 +223,12 @@ class Trainer:
     # Sparse-apply strategy override (None = shape dispatch; "dense" /
     # "compact" force one path — see optimizers/sparse._pick_strategy).
     apply_strategy: Any = None
+    # Per-device HBM budget in bytes (None = unchecked).  The two known
+    # memory cliffs fail FAST with a clear error instead of an OOM
+    # mid-job: the 2x-growth rebuild peak (old + new resident — see the
+    # growth-memory note in embedding/table.py) and the staleness FIFO
+    # (utils/budget.py; round-5 verdict #8).
+    budget_bytes: Any = None
 
     def __post_init__(self):
         if self.staleness and self.micro_batch_num > 1:
@@ -444,7 +450,7 @@ class Trainer:
 
         from deeprec_tpu.models import columns
 
-        pending = {}
+        ns = {}
         for pname, pspec in self.plan.physical.items():
             n = 0
             for lname, _ in pspec.members:
@@ -454,6 +460,19 @@ class Trainer:
                 for col in spec.shared_features:
                     shape = np.shape(batch["cat"][col])
                     n += int(np.prod(shape)) if shape else 1
+            ns[pname] = n
+        if self.budget_bytes:
+            # fail BEFORE allocating: k x per-table exchange state
+            from deeprec_tpu.utils import budget
+
+            fifo = self.staleness * sum(
+                n * (tables[p].keys.dtype.itemsize + 14
+                     + tables[p].dim * tables[p].values.dtype.itemsize)
+                for p, n in ns.items())
+            budget.check_staleness_fifo(tables, fifo, self.staleness,
+                                        self.budget_bytes)
+        pending = {}
+        for pname, n in ns.items():
             # dtypes/dims from the LIVE tables (construction-time
             # self.tables may predate growth)
             t = tables[pname]
@@ -640,7 +659,17 @@ class Trainer:
                         else:
                             tier.begin_demote(t)
                 elif ev.needs_grow(t):
-                    tables[n] = ev.maybe_grow(t)
+                    # budget check per doubling: the rebuild peak holds
+                    # old C + new 2C live (donation can't alias across
+                    # the shape change)
+                    while ev.needs_grow(t):
+                        if self.budget_bytes:
+                            from deeprec_tpu.utils import budget
+
+                            budget.check_growth(tables, n, t.capacity * 2,
+                                                self.budget_bytes)
+                        t = ev.grow(t)
+                    tables[n] = t
                     changed = True
             if changed and stager is not None:
                 stager.resync_locked()

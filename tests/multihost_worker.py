@@ -235,6 +235,35 @@ def ckpt_phase(pid, nprocs, coord_port, out_path, phase, ckpt_dir):
         result["ckpt"] = d
         result["sizes"] = {n: int(jnp.sum(t.size))
                            for n, t in state.tables.items()}
+    elif phase == "save_crash":
+        # round-5 verdict #7: kill MID-mshard-save.  A good step-6
+        # checkpoint commits; training continues to step 8; the step-8
+        # save dies after ONE mshard file per process — before the
+        # cluster barrier, so the commit pointer is never flipped and
+        # the partial step_8 dir is unreachable garbage.
+        state, losses = _run_steps(tr, mesh, state, pid, nprocs,
+                                   seed=1, steps=6)
+        saver.save_checkpoint(ckpt_dir, state)
+        state, _ = _run_steps(tr, mesh, state, pid, nprocs,
+                              seed=7, steps=2)
+        real = saver._save_table_mshard
+        calls = {"n": 0}
+
+        def dying(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated kill mid-mshard save")
+            return real(*a, **kw)
+
+        saver._save_table_mshard = dying
+        try:
+            saver.save_checkpoint(ckpt_dir, state)
+            result["crashed"] = False
+        except RuntimeError:
+            result["crashed"] = True
+        finally:
+            saver._save_table_mshard = real
+        result["step_at_crash"] = int(state.step)
     elif phase == "resume":
         path = saver.latest_checkpoint(ckpt_dir)
         state = saver.restore_checkpoint(path, state)

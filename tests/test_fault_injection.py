@@ -199,3 +199,78 @@ def test_restore_after_kill_replays_full_plus_deltas(tmp_path):
     want, _ = tr.eval_step(state5, b)  # state through delta 5, not 6
     got, _ = tr.eval_step(restored, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_crash_mid_delta_write_partial_dir_never_ingested(tmp_path,
+                                                          monkeypatch):
+    """Round-5 verdict #7: kill MID-delta-write — SOME delta files land,
+    meta.json and DONE do not.  The serving poller must keep serving the
+    pre-crash state, restore-replay must skip the torn dir, and a retried
+    incremental save of the same step must recover cleanly."""
+    from deeprec_tpu.serve.processor import Processor
+
+    model, tr, state, it = _trainer(incr=True)
+    for _ in range(4):
+        state, _ = tr.train_step(state, next(it))
+    saver.save_checkpoint(str(tmp_path), state, step=4)
+    state = _snap(state)
+
+    state2 = state
+    for _ in range(4):
+        state2, _ = tr.train_step(state2, next(it))
+    state2 = _snap(state2)
+    hook = CheckpointSaverHook(str(tmp_path), save_steps=10 ** 9)
+    real = saver.save_table_delta
+    calls = {"n": 0}
+
+    def dying(path, table, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise _Boom("kill mid-delta-write")
+        return real(path, table, **kw)
+
+    monkeypatch.setattr(saver, "save_table_delta", dying)
+    with pytest.raises(_Boom):
+        hook._save_incr(jax.device_put(state2), 8)
+    monkeypatch.setattr(saver, "save_table_delta", real)
+    d = os.path.join(str(tmp_path), "incr_8")
+    files = os.listdir(d)
+    assert any(f.startswith("delta_") for f in files)  # partial artifact...
+    assert "DONE" not in files and "meta.json" not in files  # ...uncommitted
+
+    p = Processor(model, {"warmup": False, "version_poll_secs": 0.05})
+    p.initialize(str(tmp_path))
+    try:
+        b = next(it)
+        feed = {"dense": b["dense"][:32],
+                "cat": {k: v[:32] for k, v in b["cat"].items()}}
+        # poller serves the step-4 full state; the torn delta is invisible
+        scores = p.predict(feed)
+        want, _ = tr.eval_step(jax.device_put(state), b)
+        want = 1 / (1 + np.exp(-np.asarray(want[:32], np.float64)))
+        np.testing.assert_allclose(scores, want, rtol=1e-4, atol=1e-5)
+        assert p.get_serving_model_info()["deltas_applied"] == []
+
+        # restore-replay (new trainer process) skips the torn dir too
+        restored = saver.restore_checkpoint(
+            saver.latest_checkpoint(str(tmp_path)), jax.device_put(state))
+        for dd in sorted(os.listdir(str(tmp_path))):
+            full = os.path.join(str(tmp_path), dd)
+            if (dd.startswith("incr_")
+                    and os.path.exists(os.path.join(full, "DONE"))):
+                raise AssertionError("no DONE-marked delta should exist")
+        got, _ = tr.eval_step(restored, b)
+        want4, _ = tr.eval_step(jax.device_put(state), b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want4),
+                                   rtol=1e-5)
+
+        # producer restarts and RETRIES the same step: the completed dir
+        # (all files + meta + DONE) is ingested on the next poll
+        hook._save_incr(jax.device_put(state2), 8)
+        assert p._apply_new_deltas() == 1
+        scores2 = p.predict(feed)
+        want2, _ = tr.eval_step(jax.device_put(state2), b)
+        want2 = 1 / (1 + np.exp(-np.asarray(want2[:32], np.float64)))
+        np.testing.assert_allclose(scores2, want2, rtol=1e-4, atol=1e-5)
+    finally:
+        p.shutdown()

@@ -157,3 +157,25 @@ def test_multiprocess_tiered_checkpoint(tmp_path):
     # continuation (same SPMD math, different cold-store ownership)
     assert r2[0]["losses"] == pytest.approx(r2[1]["losses"], rel=1e-6)
     assert r1[0]["losses"] == pytest.approx(r2[0]["losses"], rel=1e-4)
+
+
+def test_multiprocess_crash_mid_mshard_save_keeps_previous(tmp_path):
+    """Round-5 verdict #7: a kill MID-mshard-save (some shard files on a
+    shared filesystem, no barrier, no pointer flip) must leave the previous
+    checkpoint as the restore target; a fresh cluster resumes from it."""
+
+    ckpt = tmp_path / "ckpt"
+    res = _run_cluster(2, "save_crash", ckpt, tmp_path, "sc")
+    assert all(r["crashed"] for r in res)
+    assert all(r["step_at_crash"] == 8 for r in res)
+    # the partial step_8 dir exists on disk but was never committed
+    assert os.path.isdir(str(ckpt / "step_8"))
+    assert not os.path.exists(str(ckpt / "step_8" / "meta.json"))
+
+    r2 = _run_cluster(2, "resume", ckpt, tmp_path, "r2")
+    r1 = _run_cluster(1, "resume", ckpt, tmp_path, "r1")
+    for r in (r2[0], r2[1], r1[0]):
+        assert r["restored_step"] == 6  # the committed save, not the torn 8
+        assert r["final_step"] == 10
+    assert r2[0]["losses"] == pytest.approx(r2[1]["losses"], rel=1e-6)
+    assert r1[0]["losses"] == pytest.approx(r2[0]["losses"], rel=1e-4)
