@@ -543,9 +543,7 @@ class DistributedTrainer:
             from deeprec_tpu.utils import budget
 
             fifo = self.staleness * sum(
-                n_o * (state.tables[p].keys.dtype.itemsize + 14
-                       + state.tables[p].dim
-                       * state.tables[p].values.dtype.itemsize)
+                budget.fifo_entry_bytes(state.tables[p], n_o)
                 for p, n_o in n_os.items())
             budget.check_staleness_fifo(state.tables, fifo, self.staleness,
                                         self.budget_bytes)
@@ -754,8 +752,11 @@ class DistributedTrainer:
                     if self.budget_bytes:
                         from deeprec_tpu.utils import budget
 
-                        budget.check_growth(tables, n, cap * 2,
-                                            self.budget_bytes)
+                        # the staleness FIFO is still resident during the
+                        # rebuild (dropped only after growth commits)
+                        budget.check_growth(
+                            tables, n, cap * 2, self.budget_bytes,
+                            extra_bytes=budget.pending_bytes(state.pending))
                     tables[n] = grow_stacked(t, cap * 2)
                     changed = True
             if changed and stager is not None:

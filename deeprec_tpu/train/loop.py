@@ -466,8 +466,7 @@ class Trainer:
             from deeprec_tpu.utils import budget
 
             fifo = self.staleness * sum(
-                n * (tables[p].keys.dtype.itemsize + 14
-                     + tables[p].dim * tables[p].values.dtype.itemsize)
+                budget.fifo_entry_bytes(tables[p], n)
                 for p, n in ns.items())
             budget.check_staleness_fifo(tables, fifo, self.staleness,
                                         self.budget_bytes)
@@ -661,13 +660,22 @@ class Trainer:
                 elif ev.needs_grow(t):
                     # budget check per doubling: the rebuild peak holds
                     # old C + new 2C live (donation can't alias across
-                    # the shape change)
+                    # the shape change).  extra covers the resident
+                    # staleness FIFO and, on a multi-doubling loop, the
+                    # intermediate copies still referenced by state
+                    # (round-5 review).
+                    extra = 0
+                    if self.budget_bytes:
+                        from deeprec_tpu.utils import budget
+
+                        extra = budget.pending_bytes(state.pending)
                     while ev.needs_grow(t):
                         if self.budget_bytes:
-                            from deeprec_tpu.utils import budget
-
                             budget.check_growth(tables, n, t.capacity * 2,
-                                                self.budget_bytes)
+                                                self.budget_bytes,
+                                                extra_bytes=extra)
+                            extra += budget.table_state_bytes(t) \
+                                if t is not tables[n] else 0
                         t = ev.grow(t)
                     tables[n] = t
                     changed = True

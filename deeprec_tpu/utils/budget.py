@@ -62,28 +62,60 @@ def tables_state_bytes(tables) -> int:
     return sum(table_state_bytes(t) for t in tables.values())
 
 
+def fifo_entry_bytes(table, n: int) -> int:
+    """Per-device bytes of ONE staleness-FIFO entry buffering ``n``
+    positions of ``table``: the Lookup planes minus slot_counts (uids +
+    counts/inverse/slot_ids int32 + admitted/valid bool) plus the [n, D]
+    grad.  Single source of truth for the budget estimate — mirrors the
+    entry layout in train/loop.py and parallel/trainer.py _zero_pending
+    (which strip slot_counts; a plane added there must be added here)."""
+
+    key = table.keys.dtype.itemsize
+    val = table.values.dtype.itemsize
+    return n * (key + 3 * 4 + 2 * 1 + table.dim * val)
+
+
+def pending_bytes(pending) -> int:
+    """Actual per-device bytes of a live staleness FIFO pytree (global
+    leaves are sharded over the mesh axis, so device bytes = leaf bytes /
+    num shards only for stacked planes — FIFO leaves are 1-D over the
+    axis, full size per host; report the global size as the conservative
+    bound)."""
+
+    if pending is None:
+        return 0
+    import jax
+
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(pending))
+
+
 def check_growth(tables, name: str, new_capacity: int,
-                 budget_bytes: Optional[int]) -> None:
+                 budget_bytes: Optional[int],
+                 extra_bytes: int = 0) -> None:
     """Raise if growing ``name`` to ``new_capacity`` would blow the budget
-    at the REBUILD PEAK (old + new live simultaneously)."""
+    at the REBUILD PEAK (old + new live simultaneously).  ``extra_bytes``
+    covers other resident state the caller knows about — the staleness
+    FIFO, and intermediate copies during a multi-doubling loop."""
 
     if not budget_bytes:
         return
-    now = tables_state_bytes(tables)
+    now = tables_state_bytes(tables) + extra_bytes
     new = table_state_bytes(tables[name], new_capacity)
     peak = now + new  # old table still resident during the rebuild
     if peak > budget_bytes:
         cur = table_state_bytes(tables[name])
         raise MemoryBudgetError(
             f"growing table {name!r} to capacity {new_capacity} would peak "
-            f"at ~{peak / 2**20:.0f} MiB/device (all tables "
-            f"{now / 2**20:.0f} MiB resident + {new / 2**20:.0f} MiB new "
-            f"copy; the {cur / 2**20:.0f} MiB old copy cannot be donated "
-            f"across the shape change) — budget_bytes is "
-            f"{budget_bytes / 2**20:.0f} MiB.  Remedies: raise the budget, "
-            f"attach multi-tier storage (tiers=) so cold rows demote "
-            f"instead of growing, start at a larger initial_capacity, or "
-            f"shard over more devices.")
+            f"at ~{peak / 2**20:.0f} MiB/device ({now / 2**20:.0f} MiB "
+            f"resident incl. all tables"
+            + (f" + {extra_bytes / 2**20:.0f} MiB FIFO/intermediate state"
+               if extra_bytes else "")
+            + f", + {new / 2**20:.0f} MiB new copy; the {cur / 2**20:.0f} "
+            f"MiB old copy cannot be donated across the shape change) — "
+            f"budget_bytes is {budget_bytes / 2**20:.0f} MiB.  Remedies: "
+            f"raise the budget, attach multi-tier storage (tiers=) so cold "
+            f"rows demote instead of growing, start at a larger "
+            f"initial_capacity, or shard over more devices.")
 
 
 def check_staleness_fifo(tables, fifo_bytes: int, staleness: int,

@@ -561,3 +561,46 @@ def test_budget_distributed_growth_and_fifo():
                                   seed=1)))
     with pytest.raises(MemoryBudgetError, match="staleness"):
         tr2.train_step(s2, b)
+
+
+def test_budget_growth_check_counts_resident_fifo():
+    """Round-5 review: the growth-peak check must count the resident
+    staleness FIFO — a budget that fits tables+new-copy but not
+    tables+FIFO+new-copy must still raise, and maybe_grow must feed the
+    live pending bytes into the check."""
+
+    from deeprec_tpu.utils import budget as B
+
+    model = tiny_model(n_cols=2)
+    tables = base.make_tables(model, capacity=256)
+    name = next(iter(tables))
+    now = B.tables_state_bytes(tables)
+    new = B.table_state_bytes(tables[name], 512)
+    fifo = 2 * sum(B.fifo_entry_bytes(t, 2048) for t in tables.values())
+    tight = now + new + fifo // 2  # fits without the FIFO, not with it
+    B.check_growth(tables, name, 512, tight)  # no FIFO: passes
+    with pytest.raises(B.MemoryBudgetError, match="FIFO|intermediate"):
+        B.check_growth(tables, name, 512, tight, extra_bytes=fifo)
+
+    # integration: a staleness trainer under growth pressure routes its
+    # LIVE pending bytes into the check
+    seen = []
+    real = B.check_growth
+
+    def spy(tabs, n, cap, bb, extra_bytes=0):
+        seen.append(extra_bytes)
+        return real(tabs, n, cap, bb, extra_bytes=extra_bytes)
+
+    import unittest.mock as mock
+
+    tr = Trainer(model=model, tables=base.make_tables(model, capacity=256),
+                 sparse_optimizer=sparse.adagrad(lr=0.05),
+                 dense_tx=optax.adagrad(0.05), staleness=2,
+                 budget_bytes=1 << 30)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    it = iter(SyntheticCriteo(batch_size=2048, num_ids_per_col=5000, seed=1))
+    with mock.patch.object(B, "check_growth", side_effect=spy):
+        for _ in range(3):
+            state, _ = tr.train_step(state, next(it))
+            state = tr.maybe_grow(state)
+    assert seen and max(seen) > 0  # pending bytes reached the check
