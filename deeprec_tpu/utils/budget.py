@@ -17,8 +17,12 @@ take the PER-DEVICE HBM budget in bytes; checks raise
 :class:`MemoryBudgetError` with the offending numbers and remedies.
 
 Reference analogue: the EV allocator / memory-planner discipline
-(SURVEY.md §2.3 — trace allocations, then plan; here the shapes are
-static, so the plan can be checked up front).
+(`tensorflow/core/common_runtime/memory_planner.h:182`,
+`tensorpool_allocator.h:43` — trace allocations during
+START/STOP_STATISTIC_STEP, then plan slab reuse; SURVEY.md §2.3).  Here
+every allocation is a statically-shaped XLA buffer, so the plan can be
+CHECKED up front instead of traced: the check runs where the allocation
+decision is made and fails before the first byte is committed.
 """
 
 from __future__ import annotations
