@@ -36,6 +36,11 @@ def main(steps=300, hbm_rows=2 ** 19):
         dense_tx=optax.adagrad(0.05),
         tiers=tiers,
         bf16=True,
+        # Fail-fast HBM budgeting (round 5): the growth-rebuild peak and
+        # any staleness FIFO are checked against this per-device budget
+        # BEFORE allocating and raise MemoryBudgetError with remedies —
+        # production jobs should always set it (utils/budget.py).
+        budget_bytes=12 << 30,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     for n, t in state.tables.items():
