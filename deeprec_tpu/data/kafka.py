@@ -172,6 +172,18 @@ class TailStream:
         have = 0
         idle_since = None
         while True:
+            # The producer may not have created the file yet (the normal
+            # race when consumer and producer launch together) — waiting
+            # counts as idle time rather than crashing (round-5 review).
+            if not os.path.exists(self.path):
+                if idle_since is None:
+                    idle_since = time.time()
+                elif (self.stop_after_idle_secs is not None
+                      and time.time() - idle_since
+                      > self.stop_after_idle_secs):
+                    return
+                time.sleep(self.poll_secs)
+                continue
             with open(self.path, "rb") as f:
                 f.seek(pos)
                 chunk = f.read()

@@ -77,20 +77,30 @@ class Prefetcher:
             raise StopIteration
         return item
 
-    def close(self):
+    def close(self, timeout: float = 5.0):
         """Stop the producer and release staged batches: drains the queue
         so the (possibly blocked) producer thread sees the stop flag and
         exits, freeing its device-resident buffers and the upstream
         iterator (round-4 review: abandoning a Prefetcher pinned
-        depth+1 batches in HBM for the process lifetime)."""
+        depth+1 batches in HBM for the process lifetime).
+
+        Bounded wait (round-5 review): a producer blocked INSIDE the
+        upstream iterator (an idle TailStream / Kafka poll) never reaches
+        the stop check — close() must not hang the caller on it.  After
+        ``timeout`` the drained queue is abandoned to the daemon thread,
+        which exits on the source's next yield (at most one transient
+        batch re-staged, then the stop flag is honored)."""
 
         self._stop = True
+        deadline = time.monotonic() + timeout
         while True:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
                 if not self._thread.is_alive():
                     break
+                if time.monotonic() > deadline:
+                    break  # producer stuck in the upstream source
                 time.sleep(0.01)
                 continue
             if item is self._done:

@@ -155,8 +155,20 @@ class RemoteWorkQueue:
 
     def _call(self, req: dict) -> dict:
         with self._lock:
-            self._sock.sendall((json.dumps(req) + "\n").encode())
-            line = self._rfile.readline()
+            try:
+                self._sock.sendall((json.dumps(req) + "\n").encode())
+                line = self._rfile.readline()
+            except (OSError, socket.timeout):
+                # A timeout abandons an in-flight response; reusing the
+                # connection would hand that STALE line to the next call,
+                # leaving every later reply off by one (a retried take()
+                # could even return the wrong item and double-dispatch a
+                # work file — round-5 review).  Poison the socket so
+                # further use fails loudly; callers reconnect.
+                try:
+                    self._sock.close()
+                finally:
+                    raise
         if not line:
             raise ConnectionError("work-queue server closed the connection")
         return json.loads(line)

@@ -69,10 +69,27 @@ class RedisFeatureStore:
         vals = self._r.mget([f"{self.prefix}:{table}:{i}" for i in ids.tolist()])
         out = np.zeros((len(ids), dim), np.float32)
         found = np.zeros((len(ids),), bool)
+        bad = 0
         for j, v in enumerate(vals):
             if v is not None:
-                out[j] = np.frombuffer(v, np.float32)
+                row = np.frombuffer(v, np.float32)
+                if row.shape[0] != dim:
+                    # wrong-layout value (stale publish after a dim
+                    # change, or value+slot bytes): treat as MISSING
+                    # instead of raising a broadcast error inside predict
+                    # — one poisoned key must not 400 every request that
+                    # touches it (round-5 review)
+                    bad += 1
+                    continue
+                out[j] = row
                 found[j] = True
+        if bad:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "feature store %s:%s returned %d value(s) whose byte "
+                "length does not match dim=%d — treated as missing "
+                "(stale publish layout?)", self.prefix, table, bad, dim)
         return out, found
 
     def close(self):

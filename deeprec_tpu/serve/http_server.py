@@ -40,27 +40,19 @@ _V2_DTYPES = {"FP32": np.float32, "FP64": np.float64,
 def _v2_metadata(proc) -> dict:
     """Open-Inference-Protocol model metadata from the model's specs."""
 
+    from deeprec_tpu.serve.processor import request_schema
+
     inputs = [{"name": "dense", "datatype": "FP32",
                "shape": [-1, proc.model.dense_dim]}]
-    seen = set()
-    for name, spec in proc.model.table_specs.items():
-        wide = spec.sequence or getattr(spec, "multivalent", False)
-        if not getattr(spec, "bucket_boundaries", ()):
-            cols = (list(spec.cross) if getattr(spec, "cross", ())
-                    else [spec.feature or name])
-            for col in cols + list(spec.shared_features):
-                if col in seen:
-                    continue
-                seen.add(col)
-                seq = wide or col.startswith("hist")
-                inputs.append({"name": col, "datatype": "INT32",
-                               "shape": [-1, spec.seq_len] if seq else [-1]})
-        w = getattr(spec, "weight_feature", None)
-        if w is not None and w not in seen:
-            # weighted_categorical_column combiner weights: FP32, id-shaped
-            seen.add(w)
-            inputs.append({"name": w, "datatype": "FP32",
-                           "shape": [-1, spec.seq_len] if wide else [-1]})
+    # one shared walk with warmup (round-5 review): drift between the
+    # advertised shapes and the warmup-primed shapes would reintroduce
+    # the first-request compile stall
+    for col, (kind, seq) in request_schema(proc.model).items():
+        inputs.append({
+            "name": col,
+            "datatype": "FP32" if kind == "float" else "INT32",
+            "shape": [-1, seq] if seq else [-1],
+        })
     return {"name": proc.model.name, "platform": "deeprec_tpu",
             "versions": [str(proc.get_serving_model_info()["version"])],
             "inputs": inputs,
@@ -209,3 +201,9 @@ class ServingServer:
 
     def stop(self):
         self.httpd.shutdown()
+        # release the bound listening socket too — shutdown() only stops
+        # serve_forever, and a start/stop cycle per test (or a supervisor
+        # restart on a fixed port) would otherwise leak the fd / hit
+        # EADDRINUSE (round-5 review; WorkQueueServer.close already does
+        # both)
+        self.httpd.server_close()

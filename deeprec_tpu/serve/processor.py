@@ -30,7 +30,7 @@ import os
 import queue
 import threading
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,7 +89,47 @@ def cast_cat(arr) -> "np.ndarray":
     combine — ADVICE r3); integer inputs are ids and become int32."""
 
     arr = np.asarray(arr)
-    return arr.astype(np.float32 if arr.dtype.kind == "f" else np.int32)
+    if arr.dtype.kind == "f":
+        return arr.astype(np.float32)
+    # ids: int32 wire default, but NEVER truncate — int64/uint64 inputs
+    # (and uint32, whose top half exceeds int32) keep 64-bit width so
+    # models built with key_dtype=int64 serve ids >= 2^31 correctly; the
+    # lookup path casts to the table's key dtype (round-5 review).
+    if arr.dtype.itemsize > 4 or arr.dtype == np.uint32:
+        return arr.astype(np.int64)
+    return arr.astype(np.int32)
+
+
+def request_schema(model) -> Dict[str, Tuple[str, Optional[int]]]:
+    """{column: (kind, seq_len or None)} for every cat-plane wire input of
+    ``model`` — kind is "int" (ids) or "float" (combiner weights), seq_len
+    is set for sequence/multivalent-shaped columns.
+
+    SINGLE source of truth for the request column layout, consumed by
+    warmup shape priming, the HTTP v2 model-metadata endpoint, and the
+    gRPC metadata (round-5 review: the walk used to be duplicated in
+    processor._warmup and http_server._v2_metadata, and any drift
+    reintroduces the first-request compile stall warmup exists to hide).
+    Bucketized specs read the dense plane only; crossed specs consume
+    their component columns; a column that is sequence-shaped for ANY
+    spec reports the wide shape (requests must send the widest form)."""
+
+    out: Dict[str, Tuple[str, Optional[int]]] = {}
+    for name, spec in model.table_specs.items():
+        wide = (spec.sequence or getattr(spec, "multivalent", False))
+        if not getattr(spec, "bucket_boundaries", ()):
+            cols = (list(spec.cross) if getattr(spec, "cross", ())
+                    else [spec.feature or name])
+            cols += list(spec.shared_features)
+            for c in cols:
+                seq = spec.seq_len if (wide or c.startswith("hist")) else None
+                cur = out.get(c)
+                if cur is None or (cur[1] is None and seq is not None):
+                    out[c] = ("int", seq)
+        w = getattr(spec, "weight_feature", None)
+        if w is not None:
+            out[w] = ("float", spec.seq_len if wide else None)
+    return out
 
 
 class Processor:
@@ -266,14 +306,28 @@ class Processor:
 
         if self._state is None:
             return 0
+
+        def incr_step(s):
+            # Tolerate non-integer suffixes: MirroredModelStore stages
+            # copies as "incr_N.tmp" in this very directory, and a crashed
+            # copy can leave one behind permanently — int("N.tmp") used to
+            # raise here, killing initialize or silently stopping the
+            # poller's delta ingest forever (round-5 review).
+            if not s.startswith("incr_"):
+                return None
+            try:
+                return int(s.split("_", 1)[1])
+            except ValueError:
+                return None
+
         base_step = int(self._loaded_version.split("_")[1])
         applied = 0
         for d in sorted(os.listdir(self.model_dir),
-                        key=lambda s: int(s.split("_")[1])
-                        if s.startswith("incr_") else -1):
-            if not d.startswith("incr_"):
+                        key=lambda s: (incr_step(s) is None,
+                                       incr_step(s) or -1)):
+            step = incr_step(d)
+            if step is None:
                 continue
-            step = int(d.split("_")[1])
             if step <= base_step or d in self._applied_deltas:
                 continue
             full = os.path.join(self.model_dir, d)
@@ -419,25 +473,11 @@ class Processor:
                 "dense": np.zeros((b, self.model.dense_dim), np.float32),
                 "cat": {},
             }
-            # derive the column set from the specs (crossed specs consume
-            # their component columns; bucketized specs read dense only)
-            for name, spec in self.model.table_specs.items():
-                wide = (spec.sequence or getattr(spec, "multivalent", False))
-                if not getattr(spec, "bucket_boundaries", ()):
-                    cols = (list(spec.cross) if getattr(spec, "cross", ())
-                            else [spec.feature or name])
-                    cols += list(spec.shared_features)
-                    for c in cols:
-                        if wide or c.startswith("hist"):
-                            fake["cat"][c] = np.zeros((b, spec.seq_len),
-                                                      np.int32)
-                        else:
-                            fake["cat"].setdefault(c, np.zeros((b,), np.int32))
-                w = getattr(spec, "weight_feature", None)
-                if w is not None:
-                    # combiner weights ride in cat as FLOATS, id-shaped
-                    shape = (b, spec.seq_len) if wide else (b,)
-                    fake["cat"][w] = np.ones(shape, np.float32)
+            for c, (kind, seq) in request_schema(self.model).items():
+                shape = (b, seq) if seq else (b,)
+                fake["cat"][c] = (np.ones(shape, np.float32)
+                                  if kind == "float"
+                                  else np.zeros(shape, np.int32))
             self.predict(fake)
 
     def _warmup_from_file(self, path: str) -> None:
@@ -462,11 +502,28 @@ class Processor:
         async process()).  Lane choice follows select_session_policy."""
 
         out: "queue.Queue" = queue.Queue(maxsize=1)
+        if self._stop.is_set():
+            out.put(RuntimeError("processor shut down"))
+            return out
         if self._policy == "round_robin":
             lane = next(self._rr) % len(self._lane_queues)
         else:
             lane = 0  # shared queue: all lanes drain the same one
         self._lane_queues[lane].put((request, out))
+        if self._stop.is_set():
+            # shutdown raced the enqueue: the drain may already have run
+            # and no session thread will ever read this lane again — empty
+            # it ourselves so no caller blocks forever on out.get()
+            # (round-5 review).
+            try:
+                while True:
+                    _, out2 = self._lane_queues[lane].get_nowait()
+                    try:
+                        out2.put_nowait(RuntimeError("processor shut down"))
+                    except queue.Full:
+                        pass
+            except queue.Empty:
+                pass
         return out
 
     def _session_loop(self, lane: int):

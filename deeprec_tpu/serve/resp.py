@@ -105,16 +105,28 @@ class RespClient:
         payload = b"".join(
             encode_command(*[_as_bytes(a) for a in cmd]) for cmd in commands)
         with self._lock:
-            self._sock.sendall(payload)
-            out = []
-            first_err = None
-            for _ in commands:
+            try:
+                self._sock.sendall(payload)
+                out = []
+                first_err = None
+                for _ in commands:
+                    try:
+                        out.append(self._reader.read_reply())
+                    except RedisError as e:
+                        out.append(e)
+                        if first_err is None:
+                            first_err = e
+            except (OSError, socket.timeout):
+                # A transport failure mid-pipeline (server stall, partial
+                # recv) leaves unread replies in flight; reusing this
+                # connection would hand those stale replies to the NEXT
+                # command and misalign every later lookup (round-5
+                # review).  Poison the socket so any further use fails
+                # loudly instead of silently desyncing.
                 try:
-                    out.append(self._reader.read_reply())
-                except RedisError as e:
-                    out.append(e)
-                    if first_err is None:
-                        first_err = e
+                    self._sock.close()
+                finally:
+                    raise
         if first_err is not None:
             raise first_err
         return out

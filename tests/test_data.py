@@ -330,3 +330,53 @@ def test_prefetcher_repeated_stopiteration_and_close():
     p2.close()
     p2._thread.join(timeout=5)
     assert not p2._thread.is_alive()
+
+
+def test_tailstream_waits_for_file_to_appear(tmp_path):
+    """Round-5 review fix: the ODL consumer may start before the producer's
+    first write — a missing file counts as idle, not FileNotFoundError."""
+
+    import threading
+    import time as _time
+
+    from deeprec_tpu.data.kafka import TailStream
+
+    p = str(tmp_path / "notyet.txt")
+    # 1) never appears: the idle timeout ends the stream cleanly
+    got = list(TailStream(p, batch_size=4, stop_after_idle_secs=0.3))
+    assert got == []
+
+    # 2) appears late: rows stream once the producer writes
+    def writer():
+        _time.sleep(0.3)
+        with open(p, "w") as f:
+            for i in range(8):
+                f.write("1\t" + "\t".join(["1"] * 13)
+                        + "\t" + "\t".join(["a"] * 26) + "\n")
+
+    t = threading.Thread(target=writer)
+    t.start()
+    n = sum(len(b["label"]) for b in
+            TailStream(p, batch_size=4, stop_after_idle_secs=1.0))
+    t.join()
+    assert n == 8
+
+
+def test_prefetcher_close_does_not_hang_on_blocked_source(tmp_path):
+    """Round-5 review fix: close() must return even when the producer is
+    blocked INSIDE the upstream iterator (idle tail/poll loop)."""
+
+    import time as _time
+
+    from deeprec_tpu.data.prefetch import Prefetcher
+
+    def blocked():
+        yield {"x": 1}
+        _time.sleep(60)     # producer stuck in the source
+        yield {"x": 2}
+
+    pf = Prefetcher(blocked(), depth=2, to_device=False)
+    _ = next(iter(pf))
+    t0 = _time.monotonic()
+    pf.close(timeout=0.5)
+    assert _time.monotonic() - t0 < 5.0  # returned promptly

@@ -677,3 +677,62 @@ def test_feature_store_redis_serving_mode(tmp_path):
         full.shutdown()
     finally:
         srv.stop()
+
+
+def test_poller_tolerates_non_integer_incr_entries(tmp_path):
+    """Round-5 review fix: MirroredModelStore stages copies as
+    'incr_N.tmp' inside the polled dir — the delta scan must skip them
+    (int('7.tmp') used to crash initialize / silently kill the poller)."""
+
+    model, tr, state, it = _train_and_save(tmp_path)
+    os.makedirs(str(tmp_path / "incr_7.tmp"))
+    p = Processor(model, {"session_num": 1, "bucket_sizes": [128],
+                          "warmup": False})
+    p.initialize(str(tmp_path))       # used to raise ValueError here
+    try:
+        assert p._apply_new_deltas() == 0
+        b = next(it)
+        scores = p.predict({"dense": b["dense"][:16],
+                            "cat": {k: v[:16] for k, v in b["cat"].items()}})
+        assert scores.shape == (16,)
+    finally:
+        p.shutdown()
+
+
+def test_cast_cat_preserves_64bit_ids():
+    """Round-5 review fix: int64/uint64/uint32 wire ids must not be
+    truncated to int32 (models with key_dtype=int64 serve ids >= 2^31)."""
+
+    from deeprec_tpu.serve.processor import cast_cat
+
+    big = cast_cat(np.array([5_000_000_000], np.int64))
+    assert big.dtype == np.int64 and big[0] == 5_000_000_000
+    u32 = cast_cat(np.array([3_000_000_000], np.uint32))
+    assert u32.dtype == np.int64 and u32[0] == 3_000_000_000
+    small = cast_cat(np.array([7], np.int16))
+    assert small.dtype == np.int32
+    w = cast_cat(np.array([0.5], np.float64))
+    assert w.dtype == np.float32
+
+
+def test_feature_store_wrong_length_value_is_missing():
+    """Round-5 review fix: a stored value whose byte length does not match
+    the requested dim (stale publish after a dim change) must read as
+    MISSING, not raise a broadcast error inside predict."""
+
+    from deeprec_tpu.serve.feature_store import RedisFeatureStore
+    from deeprec_tpu.serve.resp import MiniRedisServer
+
+    srv = MiniRedisServer().start()
+    try:
+        fs = RedisFeatureStore(url=srv.url)
+        fs.publish_table("t", np.array([1, 2], np.int64),
+                         np.ones((2, 4), np.float32))
+        # poison key 2 with a wrong-layout value (8 floats, dim is 4)
+        fs._r.set("ev:t:2", np.ones((8,), np.float32).tobytes())
+        rows, found = fs.lookup("t", np.array([1, 2, 3], np.int64), dim=4)
+        assert found.tolist() == [True, False, False]
+        np.testing.assert_allclose(rows[0], 1.0)
+        fs.close()
+    finally:
+        srv.stop()
