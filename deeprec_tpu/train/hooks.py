@@ -65,7 +65,7 @@ class CheckpointSaverHook(Hook):
                  incremental_save_secs: Optional[float] = None,
                  shrink_on_save: bool = False, tiers=None,
                  num_bundles: int = 1, async_save: bool = False,
-                 model_name: Optional[str] = None):
+                 model_name: Optional[str] = None, stager=None):
         self.ckpt_dir = ckpt_dir
         self.save_secs = save_secs
         self.save_steps = save_steps
@@ -74,6 +74,13 @@ class CheckpointSaverHook(Hook):
         # Same mapping as Trainer(tiers=...): makes full saves tier-complete
         # (cold rows dumped alongside the hot table).
         self.tiers = tiers
+        # The TierStager feeding this trainer, when one is used: queued
+        # promotion payloads hold rows that are in NEITHER the device
+        # table nor the cold store at save time (prepare's move
+        # semantics), so a tier-complete save must fold them into the
+        # cold dump — without this, up to depth batches of trained rows
+        # silently vanish from the checkpoint (round-5 review).
+        self.stager = stager
         # SaveV3-style sharded bundle writes (parallel permute+write) and
         # background saves off the training thread.
         self.num_bundles = num_bundles
@@ -102,22 +109,61 @@ class CheckpointSaverHook(Hook):
             f.write(str(step))
         return state.replace(tables=tables)
 
+    def _cold_snapshot(self):
+        """Tier-complete cold dump including in-flight stager payloads.
+
+        Returns None when no stager is attached (save_checkpoint exports
+        the cold stores itself).  Holding the tier lock makes the
+        (queued-payload snapshot + cold export) pair atomic against the
+        stager's prepare (which erases rows from the cold store into a
+        payload) and against demotions."""
+
+        if not self.tiers or self.stager is None:
+            return None
+        import numpy as np
+
+        with self.stager._lock:
+            cold = {name: tier.export_cold()
+                    for name, tier in self.tiers.items()}
+            for pl in self.stager.queued_payloads():
+                for pname, payload in pl.items():
+                    if pname not in cold:
+                        continue
+                    k0, r0, f0 = cold[pname]
+                    cold[pname] = (
+                        np.concatenate([np.asarray(k0, np.int64),
+                                        np.asarray(payload["keys"],
+                                                   np.int64)]),
+                        np.concatenate([np.asarray(r0, np.float32),
+                                        np.asarray(payload["rows"],
+                                                   np.float32)])
+                        if len(k0) else np.asarray(payload["rows"],
+                                                   np.float32),
+                        np.concatenate([np.asarray(f0, np.uint32),
+                                        np.asarray(payload["freqs"],
+                                                   np.uint32)]),
+                    )
+        return cold
+
     def after_step(self, state, metrics, step):
         now = time.time()
         full_due = (
             (self.save_steps and (step + 1) % self.save_steps == 0)
             or (self.save_secs and now - self._last_full >= self.save_secs))
         if full_due:
+            cold_data = self._cold_snapshot()
             if self.async_saver is not None:
                 self.async_saver.save(self.ckpt_dir, state, step=step + 1,
                                       shrink=self.shrink, tiers=self.tiers,
                                       num_bundles=self.num_bundles,
-                                      model_name=self.model_name)
+                                      model_name=self.model_name,
+                                      _cold_data=cold_data)
             else:
                 saver.save_checkpoint(self.ckpt_dir, state, step=step + 1,
                                       shrink=self.shrink, tiers=self.tiers,
                                       num_bundles=self.num_bundles,
-                                      model_name=self.model_name)
+                                      model_name=self.model_name,
+                                      _cold_data=cold_data)
             self._last_full = now
             self._last_incr = now
             # The full checkpoint now contains every row: clear the
@@ -163,10 +209,15 @@ class ProfilerHook(Hook):
     def after_step(self, state, metrics, step):
         import jax
 
-        if step + 1 == self.start and not self._active:
+        # >= comparisons, not ==: under fused dispatch
+        # (steps_per_dispatch=k) hooks only see chunk-end step indices, so
+        # an exact match can skip both the start and the stop — leaving
+        # the trace running to the end of fit (round-5 review).
+        if (not self._active and step + 1 >= self.start
+                and step + 1 < self.stop):
             jax.profiler.start_trace(self.log_dir)
             self._active = True
-        elif step + 1 == self.stop and self._active:
+        elif self._active and step + 1 >= self.stop:
             jax.block_until_ready(state.step)
             jax.profiler.stop_trace()
             self._active = False

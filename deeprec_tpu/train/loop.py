@@ -664,18 +664,26 @@ class Trainer:
                     # staleness FIFO and, on a multi-doubling loop, the
                     # intermediate copies still referenced by state
                     # (round-5 review).
-                    extra = 0
+                    fifo = 0
                     if self.budget_bytes:
                         from deeprec_tpu.utils import budget
 
-                        extra = budget.pending_bytes(state.pending)
+                        fifo = budget.pending_bytes(state.pending)
                     while ev.needs_grow(t):
                         if self.budget_bytes:
+                            # the LIVE resident set during this rebuild:
+                            # all tables (incl. the original C, still
+                            # referenced by state) + the CURRENT source t
+                            # when it is an intermediate copy (prior
+                            # intermediates were freed on rebind) + the
+                            # FIFO (round-5 review: adding the previous,
+                            # already-freed copy instead under-counted
+                            # the true peak)
+                            inter = (0 if t is tables[n]
+                                     else budget.table_state_bytes(t))
                             budget.check_growth(tables, n, t.capacity * 2,
                                                 self.budget_bytes,
-                                                extra_bytes=extra)
-                            extra += budget.table_state_bytes(t) \
-                                if t is not tables[n] else 0
+                                                extra_bytes=fifo + inter)
                         t = ev.grow(t)
                     tables[n] = t
                     changed = True
@@ -723,6 +731,15 @@ class Trainer:
 
             stager = TierStager(self, data_iter, max_steps=steps)
             stream = ((b, pl) for b, pl in stager)
+            # auto-wire the stager into tier-aware checkpoint hooks:
+            # queued payload rows are in neither the device table nor the
+            # cold store, and a full save that misses them silently drops
+            # trained embeddings (round-5 review;
+            # CheckpointSaverHook._cold_snapshot)
+            for h in hooks:
+                if (getattr(h, "tiers", None)
+                        and getattr(h, "stager", False) is None):
+                    h.stager = stager
         else:
             stream = ((b, None) for b in data_iter)
         # bound BEFORE pulling: `enumerate + break` would consume (and
@@ -780,9 +797,14 @@ class Trainer:
                 state = state.replace(
                     pending=self._zero_pending(chunk[0], state.tables))
             if len(chunk) < k:      # ragged tail: plain per-step path
+                tail_losses = []
                 for b in chunk:
                     state, m = self._train_step(state, b)
-                losses = m["loss"][None]
+                    tail_losses.append(m["loss"])
+                # keep EVERY tail step's loss — reporting only the last
+                # one as the chunk mean mis-logs the final chunk's
+                # metrics (round-5 review)
+                losses = jnp.stack(tail_losses)
             else:
                 stacked = jax.tree.map(lambda *xs: np.stack(xs), *chunk)
                 state, losses = multi(state, stacked)
@@ -809,8 +831,14 @@ class Trainer:
         import numpy as np
 
         all_logits, all_labels, losses = [], [], []
-        for i, batch in enumerate(data_iter):
-            if i >= steps:
+        data_iter = iter(data_iter)
+        for _ in range(steps):
+            # bound BEFORE pulling — enumerate+break would consume (and
+            # silently discard) one extra batch from a shared iterator
+            # (round-5 review: fit/stager already fixed this pattern)
+            try:
+                batch = next(data_iter)
+            except StopIteration:
                 break
             logits, loss = self.eval_step(state, batch)
             lbl = (batch["labels"][self.model.tasks[0]]

@@ -25,6 +25,7 @@ services; artifacts are host-memory-bounded per table shard.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import functools
 import glob as _glob
 import json
 import os
@@ -110,17 +111,28 @@ def _export_table_host(table: ev.EmbeddingTable, *, shrink_step=None) -> Dict:
     return out
 
 
+def _partition_order(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(order, offsets) of the stable 1000-way partition sort — the ONE
+    place the export layout math lives (round-5 review: previously
+    duplicated between _merge_and_partition and save_table, where a
+    divergence would silently break restore-onto-different-shard-count
+    for one path only)."""
+
+    part = _partition_of(keys)
+    order = np.argsort(part, kind="stable")
+    offsets = np.searchsorted(
+        part[order], np.arange(SAVED_PARTITIONS + 1)).astype(np.int64)
+    return order, offsets
+
+
 def _merge_and_partition(parts: List[Dict]) -> Tuple[Dict, np.ndarray]:
     merged = {}
     for k in parts[0]:
         merged[k] = np.concatenate([p[k] for p in parts], axis=0)
-    part = _partition_of(merged["keys"])
-    order = np.argsort(part, kind="stable")
+    order, offsets = _partition_order(merged["keys"])
     for k in merged:
         merged[k] = merged[k][order]
-    psorted = part[order]
-    offsets = np.searchsorted(psorted, np.arange(SAVED_PARTITIONS + 1))
-    return merged, offsets.astype(np.int64)
+    return merged, offsets
 
 
 def _one_shard(table: ev.EmbeddingTable, s: int) -> ev.EmbeddingTable:
@@ -144,12 +156,15 @@ def _table_shards(table: ev.EmbeddingTable) -> List[ev.EmbeddingTable]:
 
     if table.keys.ndim == 1:
         return [table]
-    from deeprec_tpu.parallel.trainer import local_view
+    from deeprec_tpu.parallel.trainer import _map_stacked, local_view
 
     s = table.keys.shape[0]
     out = []
     for i in range(s):
-        shard = jax.tree.map(lambda x: x[i:i + 1], table)
+        # STACKED_FIELDS-only slice, same as _one_shard above: a blanket
+        # tree.map would also slice replicated leaves like the
+        # default_rows pool (round-5 review)
+        shard = _map_stacked(table, lambda x: x[i:i + 1])
         out.append(local_view(shard))
     return out
 
@@ -313,11 +328,7 @@ def save_table(path: str, table: ev.EmbeddingTable, *, shrink_step=None,
 
     keys_cat = (np.concatenate(merged["keys"]) if len(parts) > 1
                 else merged["keys"][0])
-    part = _partition_of(keys_cat)
-    order = np.argsort(part, kind="stable")
-    psorted = part[order]
-    offsets = np.searchsorted(
-        psorted, np.arange(SAVED_PARTITIONS + 1)).astype(np.int64)
+    order, offsets = _partition_order(keys_cat)
 
     def cat(k):
         return (np.concatenate(merged[k]) if len(merged[k]) > 1
@@ -374,34 +385,29 @@ def _chunk_walker(table: ev.EmbeddingTable, chunk_rows: int,
     chunk_rows = min(1 << (max(chunk_rows, 1).bit_length() - 1), cap)
     nc = cap // chunk_rows
 
-    def plane(x):
-        return x if shard is None else x[shard]
-
-    @jax.jit
-    def chunk_live(lo):
-        k = jax.lax.dynamic_slice_in_dim(plane(table.keys), lo, chunk_rows)
-        lv = k != table.empty
-        if touched_only:
-            t = jax.lax.dynamic_slice_in_dim(plane(table.touched), lo,
-                                             chunk_rows)
-            lv = lv & t.astype(bool)
-        order = jnp.argsort(~lv, stable=True)
-        n = jnp.sum(lv.astype(jnp.int32))
-        rows = {"keys": jnp.where(lv[order], k[order], table.empty)}
-        idx = (jax.lax.dynamic_slice_in_dim(
-            jnp.arange(cap, dtype=jnp.int32), lo, chunk_rows))[order]
-        rows["values"] = plane(table.values)[idx]
-        if table.freqs is not None:
-            rows["freqs"] = plane(table.freqs)[idx]
-        if table.versions is not None:
-            rows["versions"] = plane(table.versions)[idx]
-        for sname, sval in table.slots.items():
-            rows[f"slot_{sname}"] = plane(sval)[idx]
-        part = hashing.logical_partition(rows["keys"])
-        return rows, part, n
+    # planes as ARGUMENTS to one module-level jitted function: a per-call
+    # @jax.jit closure (old shape of this code) keyed the jit cache on the
+    # fresh function object, so EVERY streaming/incremental save — per
+    # shard — paid a full retrace+recompile (seconds on the tunnel) even
+    # at a 30 s incremental cadence (round-5 review).  The cache now keys
+    # on shapes/dtypes + the static flags and hits across saves.
+    planes = {"keys": table.keys, "values": table.values,
+              "slots": dict(table.slots)}
+    if table.freqs is not None:
+        planes["freqs"] = table.freqs
+    if table.versions is not None:
+        planes["versions"] = table.versions
+    if touched_only:
+        planes["touched"] = table.touched
+    sliced = shard is not None
+    shard_arg = jnp.int32(shard if sliced else 0)
+    empty = int(table.empty)
 
     def fetch(c):
-        rows, part, n = chunk_live(jnp.int32(c * chunk_rows))
+        rows, part, n = _chunk_live_jit(
+            planes, shard_arg, jnp.int32(c * chunk_rows),
+            chunk_rows=chunk_rows, touched_only=touched_only,
+            empty=empty, sliced=sliced)
         n = int(jax.device_get(n))
         host = {k: np.asarray(jax.device_get(v))[:n]
                 for k, v in rows.items()}
@@ -409,6 +415,39 @@ def _chunk_walker(table: ev.EmbeddingTable, chunk_rows: int,
         return host
 
     return nc, fetch
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_rows", "touched_only",
+                                             "empty", "sliced"))
+def _chunk_live_jit(planes, shard, lo, *, chunk_rows, touched_only,
+                    empty, sliced):
+    """Compacted live rows of one capacity chunk (see _chunk_walker)."""
+
+    def plane(x):
+        return (jax.lax.dynamic_index_in_dim(x, shard, 0, keepdims=False)
+                if sliced else x)
+
+    cap = planes["keys"].shape[-1]
+    k = jax.lax.dynamic_slice_in_dim(plane(planes["keys"]), lo, chunk_rows)
+    lv = k != empty
+    if touched_only:
+        t = jax.lax.dynamic_slice_in_dim(plane(planes["touched"]), lo,
+                                         chunk_rows)
+        lv = lv & t.astype(bool)
+    order = jnp.argsort(~lv, stable=True)
+    n = jnp.sum(lv.astype(jnp.int32))
+    rows = {"keys": jnp.where(lv[order], k[order], empty)}
+    idx = (jax.lax.dynamic_slice_in_dim(
+        jnp.arange(cap, dtype=jnp.int32), lo, chunk_rows))[order]
+    rows["values"] = plane(planes["values"])[idx]
+    if "freqs" in planes:
+        rows["freqs"] = plane(planes["freqs"])[idx]
+    if "versions" in planes:
+        rows["versions"] = plane(planes["versions"])[idx]
+    for sname, sval in planes["slots"].items():
+        rows[f"slot_{sname}"] = plane(sval)[idx]
+    part = hashing.logical_partition(rows["keys"])
+    return rows, part, n
 
 
 def save_table_streaming(path: str, table: ev.EmbeddingTable, *,
@@ -1157,7 +1196,7 @@ class AsyncCheckpointer:
 
     def save(self, ckpt_dir: str, state, *, step=None, shrink=False,
              tiers=None, num_bundles: int = 1,
-             model_name=None) -> cf.Future:
+             model_name=None, _cold_data=None) -> cf.Future:
         self.wait()
         if jax.process_count() > 1:
             # A multi-controller save is a COLLECTIVE (mshard barrier +
@@ -1175,8 +1214,11 @@ class AsyncCheckpointer:
             return f
         state = jax.tree.map(
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
-        cold = {name: tier.export_cold()
-                for name, tier in (tiers or {}).items()}
+        # _cold_data: caller-supplied snapshot (CheckpointSaverHook folds
+        # in-flight stager payloads into it — round-5 review)
+        cold = (_cold_data if _cold_data is not None
+                else {name: tier.export_cold()
+                      for name, tier in (tiers or {}).items()})
         # tiers rides along for the cold-layout META (dim/slot widths);
         # the snapshotted _cold_data supplies the rows, so the background
         # thread never touches the live (mutating) cold stores.

@@ -49,6 +49,7 @@ class TierStager:
         self._items: collections.deque = collections.deque()
         self._depth = depth
         self._done = False
+        self._err: Optional[BaseException] = None
         self._thread = threading.Thread(
             target=self._run, args=(iter(data_iter), max_steps), daemon=True)
         self._thread.start()
@@ -78,6 +79,12 @@ class TierStager:
                             [batch, [payloads] if payloads else []])
                         self._cv.notify_all()
                 n += 1
+        except BaseException as e:
+            # Surface producer failures to the consumer: swallowing them
+            # would end the stream early and let fit() return "success"
+            # after a fraction of the requested steps (round-5 review) —
+            # the non-staged path propagates the same error out of fit.
+            self._err = e
         finally:
             with self._cv:
                 self._done = True
@@ -93,12 +100,25 @@ class TierStager:
                 if topup:
                     item[1].append(topup)
 
+    def queued_payloads(self):
+        """Snapshot of every queued (not-yet-applied) promotion payload:
+        rows that are currently in NEITHER the device table NOR the cold
+        store (prepare uses move semantics).  A tier-complete checkpoint
+        must include them — hold the trainer's tier lock around this call
+        plus the cold export so no prepare/demote interleaves
+        (CheckpointSaverHook(stager=...) does; round-5 review)."""
+
+        with self._cv:
+            return [pl for _, plist in self._items for pl in plist]
+
     def __iter__(self):
         while True:
             with self._cv:
                 while not self._items and not self._done:
                     self._cv.wait()
                 if not self._items:
+                    if self._err is not None:
+                        raise self._err
                     return
                 batch, plist = self._items.popleft()
                 self._cv.notify_all()

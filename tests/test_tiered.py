@@ -407,3 +407,127 @@ def test_promote_into_full_table_restores_cold_rows():
         rows, _, found = tier.cold.lookup(np.array([k], np.int64))
         assert found[0]
         np.testing.assert_array_equal(rows[0], want_rows[int(k)])
+
+
+def test_checkpoint_includes_inflight_stager_payloads(tmp_path):
+    """Round-5 review: TierStager.prepare MOVES rows out of the cold store
+    into queued payloads — a full checkpoint cut while payloads are queued
+    must still contain those rows (CheckpointSaverHook(stager=...) folds
+    them into the cold dump); without the stager wiring they are silently
+    lost."""
+
+    import time
+
+    from deeprec_tpu.train import saver
+    from deeprec_tpu.train.hooks import CheckpointSaverHook
+    from deeprec_tpu.train.stager import TierStager
+
+    model = tiny_model(n_cols=2, emb_dim=4)
+    gen_it = iter(SyntheticCriteo(batch_size=128, num_ids_per_col=600, seed=3))
+    batches = [next(gen_it) for _ in range(10)]
+
+    def build():
+        tables = {n: ev.create(n, t.dim, option=t.option, capacity=256)
+                  for n, t in base.make_tables(model).items()}
+        o = sparse.adagrad(lr=0.05)
+        tables = {n: o.init(t) for n, t in tables.items()}
+        tiers = {n: TieredTable(t, evict_fraction=0.5, hot_watermark=0.5)
+                 for n, t in tables.items()}
+        tr = Trainer(model=model, tables=tables, sparse_optimizer=o,
+                     dense_tx=optax.adagrad(0.05), tiers=tiers)
+        return tr, tiers, tr.init_state(jax.random.PRNGKey(0))
+
+    tr, tiers, state = build()
+    for i, b in enumerate(batches[:8]):
+        state, _ = tr.train_step(state, b)
+        if (i + 1) % 2 == 0:
+            state = tr.maybe_grow(state)
+    assert any(t.cold.size > 0 for t in tiers.values())
+
+    def live_union():
+        out = {}
+        for n, t in state.tables.items():
+            keys = np.asarray(jax.device_get(t.keys))
+            dev = set(keys[keys != t.empty].tolist())
+            ck, _, _ = tiers[n].export_cold()
+            out[n] = dev | set(np.asarray(ck).tolist())
+        return out
+
+    want = live_union()
+
+    # queue promotion payloads for upcoming batches: rows leave the cold
+    # store into the stager queue
+    stager = TierStager(tr, iter(batches[8:]), max_steps=2, depth=2)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        with stager._cv:
+            if len(stager._items) >= 2 or stager._done:
+                break
+        time.sleep(0.01)
+    queued = stager.queued_payloads()
+    moved = sum(len(pl[n]["keys"]) for pl in queued for n in pl)
+    assert moved > 0, "no payload rows moved — test setup failed"
+
+    # full save WHILE payloads are queued, stager-aware
+    hook = CheckpointSaverHook(str(tmp_path), save_steps=1, tiers=tiers,
+                               stager=stager)
+    state = hook.after_step(state, {}, step=0)
+
+    # restore tier-complete into a fresh trainer: no key may be lost
+    tr2, tiers2, template = build()
+    restored = saver.restore_checkpoint(
+        saver.latest_checkpoint(str(tmp_path)), template, tiers=tiers2)
+    got = {}
+    for n, t in restored.tables.items():
+        keys = np.asarray(jax.device_get(t.keys))
+        dev = set(keys[keys != t.empty].tolist())
+        ck, _, _ = tiers2[n].export_cold()
+        got[n] = dev | set(np.asarray(ck).tolist())
+    for n in want:
+        missing = want[n] - got[n]
+        assert not missing, (n, sorted(missing)[:10])
+
+    # negative control: the same save WITHOUT stager wiring loses exactly
+    # the queued payload rows (proves the bug this guards against)
+    hook2 = CheckpointSaverHook(str(tmp_path / "naive"), save_steps=1,
+                                tiers=tiers)
+    hook2.after_step(state, {}, step=0)
+    tr3, tiers3, template3 = build()
+    saver.restore_checkpoint(
+        saver.latest_checkpoint(str(tmp_path / "naive")), template3,
+        tiers=tiers3)
+    lost = 0
+    # count payload keys absent from the naive checkpoint's cold dump
+    for pl in queued:
+        for n, payload in pl.items():
+            ck, _, _ = tiers3[n].export_cold()
+            cold_keys = set(np.asarray(ck).tolist())
+            lost += sum(1 for k in np.asarray(payload["keys"]).tolist()
+                        if k not in cold_keys)
+    assert lost == moved  # every in-flight row missing without the wiring
+
+
+def test_stager_producer_error_propagates_from_fit():
+    """Round-5 review: an exception in the stager's producer thread must
+    surface from fit(), not silently truncate training."""
+
+    model = tiny_model(n_cols=2, emb_dim=4)
+    tables = {n: ev.create(n, t.dim, option=t.option, capacity=1024)
+              for n, t in base.make_tables(model).items()}
+    o = sparse.adagrad(lr=0.05)
+    tables = {n: o.init(t) for n, t in tables.items()}
+    tiers = {n: TieredTable(t, evict_fraction=0.5, hot_watermark=0.9)
+             for n, t in tables.items()}
+    tr = Trainer(model=model, tables=tables, sparse_optimizer=o,
+                 dense_tx=optax.adagrad(0.05), tiers=tiers)
+    state = tr.init_state(jax.random.PRNGKey(0))
+
+    def dying_iter():
+        gen_it = iter(SyntheticCriteo(batch_size=64, num_ids_per_col=200,
+                                      seed=1))
+        yield next(gen_it)
+        yield next(gen_it)
+        raise RuntimeError("data pipeline died")
+
+    with pytest.raises(RuntimeError, match="data pipeline died"):
+        tr.fit(state, dying_iter(), steps=50, log_every=0)
