@@ -91,8 +91,17 @@ class TieredTable:
         with self._inflight_mu:
             if self._inflight is None:
                 return False
+            if self._inflight[0].done():
+                # upsert landed: surface any error, clear the record —
+                # otherwise the membership scan below repeats for every
+                # batch until the next demote/ckpt (round-5 review)
+                fut, self._inflight = self._inflight[0], None
+                fut.result()
+                return False
             keyset = self._inflight[1]
-        return any(int(u) in keyset for u in uids)
+        # C-level set disjointness, not a Python per-id loop (~200k
+        # uniques per behavior batch on the prefetch thread)
+        return not keyset.isdisjoint(uids.tolist())
 
     # -- promotion (prefetch thread) ---------------------------------------
 
@@ -303,9 +312,18 @@ def _promote_body(table, keys, rows, freqs, *, slot_names, slot_widths, dim):
     fr = table.freqs
     if fr is not None:
         fr = fr.at[dst].set(freqs, mode="drop")
+    touched = table.touched
+    if touched is not None:
+        # a promoted row must land in the next incremental delta: its
+        # cold copy was erased (move semantics), so a full+delta restore
+        # that misses it would resurrect only the stale pre-promotion
+        # state — same invariant as lookup-phase inserts (table.py
+        # round-4 fix; round-5 review)
+        touched = touched.at[dst].set(True, mode="drop")
     return table.replace(
         keys=new_keys, values=values, slots=slots_d, versions=versions,
-        freqs=fr, size=table.size + jnp.sum(inserted).astype(jnp.int32),
+        freqs=fr, touched=touched,
+        size=table.size + jnp.sum(inserted).astype(jnp.int32),
         growth_hint=table.growth_hint + n_failed.astype(jnp.int32),
     ), failed
 

@@ -87,12 +87,31 @@ def dynamic_dim_lookup(table: ev.EmbeddingTable, lk: ev.Lookup,
     """
 
     g = ev.collect(table, lk)[lk.inverse]         # [N, D]
-    n, d = g.shape
+    return apply_block_mask(g, blocknums, block_dim)
+
+
+def apply_block_mask(rows: jnp.ndarray, blocknums: jnp.ndarray,
+                     block_dim: int) -> jnp.ndarray:
+    """Zero every block past each row's blocknum — THE dynamic-dim mask,
+    shared by the single-chip and sharded paths (round-5 review: a copy
+    in parallel/trainer.py could silently diverge)."""
+
+    n, d = rows.shape
     nblocks = d // block_dim
     blk = jax.lax.broadcasted_iota(jnp.int32, (n, nblocks), 1)
-    mask = blk < blocknums[:, None]
-    mask_full = jnp.repeat(mask, block_dim, axis=1)
-    return g * mask_full.astype(g.dtype)
+    mask = jnp.repeat(blk < blocknums[:, None], block_dim, axis=1)
+    return rows * mask.astype(rows.dtype)
+
+
+def blocknums_from_freq(freq: jnp.ndarray,
+                        thresholds: Sequence[int]) -> jnp.ndarray:
+    """#thresholds crossed + 1, from a frequency array (shared by both
+    paths — see apply_block_mask)."""
+
+    bn = jnp.ones_like(freq)
+    for t in thresholds:
+        bn = bn + (freq >= t).astype(bn.dtype)
+    return bn
 
 
 def frequency_blocknums(table: ev.EmbeddingTable, ids: jnp.ndarray,
@@ -100,11 +119,7 @@ def frequency_blocknums(table: ev.EmbeddingTable, ids: jnp.ndarray,
     """Derive blocknums from accumulated frequency: #thresholds crossed + 1
     (the frequency-adaptive policy of dynamic-dim EV)."""
 
-    f = ev.get_frequency(table, ids)
-    bn = jnp.ones_like(f)
-    for t in thresholds:
-        bn = bn + (f >= t).astype(bn.dtype)
-    return bn
+    return blocknums_from_freq(ev.get_frequency(table, ids), thresholds)
 
 
 # ---------------------------------------------------------------------------
@@ -184,8 +199,14 @@ class SimpleHashTable:
         t = self._t
         while True:
             t2, lk = ev.lookup_phase(t, keys, train=True)
-            n_failed = int(jax.device_get(jnp.sum(
-                lk.valid & (lk.slot_ids >= t2.capacity))))
+            # PROBE failures only (growth_hint delta): a blanket
+            # "valid & slot >= capacity" also counts ADMISSION-DENIED keys
+            # (Bloom/counter filter below threshold), which no amount of
+            # growth resolves — the loop would double capacity per retry
+            # until repeated CBF re-adds crossed the threshold, inflating
+            # the table ~2^filter_freq x for one insert (round-5 review).
+            n_failed = (int(jax.device_get(t2.growth_hint))
+                        - int(jax.device_get(t.growth_hint)))
             if n_failed == 0:
                 t = t2
                 break
@@ -204,6 +225,7 @@ class SimpleHashTable:
         return self._wrap(ev.maybe_grow(t))
 
     def lookup(self, keys, default: float = 0.0):
+        keys = jnp.asarray(keys).reshape(-1)  # accept lists, like insert
         _, lk = ev.lookup_phase(self._t, keys, train=False)
         g = ev.collect(self._t, lk)
         found = (lk.slot_ids < self._t.capacity)[lk.inverse]
@@ -213,7 +235,7 @@ class SimpleHashTable:
         return rows, found
 
     def erase(self, keys) -> "SimpleHashTable":
-        return self._wrap(ev.remove(self._t, keys))
+        return self._wrap(ev.remove(self._t, jnp.asarray(keys).reshape(-1)))
 
     def export(self):
         keys, values, _, _, live = ev.export_live(self._t)

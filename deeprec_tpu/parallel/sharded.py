@@ -34,9 +34,6 @@ from jax import lax
 from deeprec_tpu.embedding import table as ev
 from deeprec_tpu.ops import hashing
 
-SHARD_SALT = 0x5EED
-
-
 def shard_of(keys: jnp.ndarray, num_shards: int) -> jnp.ndarray:
     """Owner shard of each key: logical-partition mod num_shards.
 

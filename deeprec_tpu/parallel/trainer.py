@@ -184,7 +184,18 @@ class DistributedTrainer:
             params = dict(params)
             params["_variants"] = vparams
         tables = {}
+        max_key = int(jnp.iinfo(jnp.int32).max)  # ev.create's key dtype
         for pname, pspec in self.plan.physical.items():
+            # same dtype-aware guard as models/base.make_tables: composed
+            # group keys that overflow int32 would wrap — member-32's id 0
+            # becomes exactly the EMPTY sentinel and other wrapped keys
+            # alias another member's key space (round-5 review; the
+            # generic 2^62 check in plan_groups only covers int64)
+            if (len(pspec.members) - 1) << pspec.id_bits > max_key:
+                raise ValueError(
+                    f"physical table {pname}: {len(pspec.members)} members"
+                    f" x id_bits={pspec.id_bits} overflows int32 keys — "
+                    f"lower id_bits or split the group")
             cap = self.per_shard_capacity or max(
                 1024, pspec.initial_capacity // self.num_shards)
             opt = self.table_option or cfg.EmbeddingVariableOption()
@@ -320,13 +331,13 @@ class DistributedTrainer:
                 if variant in ("dynamic_dim", "adaptive"):
                     freq = lax.dynamic_slice_in_dim(freqs[pname], off, n)
                 if variant == "dynamic_dim":
-                    bn = jnp.ones_like(freq)
-                    for th in spec.dyn_dim_thresholds:
-                        bn = bn + (freq >= th).astype(bn.dtype)
-                    nblocks = spec.dim // spec.dyn_dim_block
-                    blk = lax.broadcasted_iota(jnp.int32, (n, nblocks), 1)
-                    mask = (blk < bn[:, None]).astype(rows.dtype)
-                    rows = rows * jnp.repeat(mask, spec.dyn_dim_block, axis=1)
+                    from deeprec_tpu.embedding import variants as vr
+
+                    rows = vr.apply_block_mask(
+                        rows,
+                        vr.blocknums_from_freq(freq,
+                                               spec.dyn_dim_thresholds),
+                        spec.dyn_dim_block)
                 elif variant == "adaptive":
                     static = params["_variants"][lname]
                     ids_flat = lkp._ids2d(feat.ids).reshape(-1)

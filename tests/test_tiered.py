@@ -531,3 +531,30 @@ def test_stager_producer_error_propagates_from_fit():
 
     with pytest.raises(RuntimeError, match="data pipeline died"):
         tr.fit(state, dying_iter(), steps=50, log_every=0)
+
+
+def test_promotion_marks_rows_touched_for_incremental_delta():
+    """Round-5 review: a promoted row's cold copy is erased (move
+    semantics), so the promotion itself must set the touched plane — a
+    full+delta restore that misses it would resurrect only the stale
+    pre-promotion state."""
+
+    opt = cfg.EmbeddingVariableOption(record_touched=True)
+    t = ev.create("t", dim=4, capacity=64, option=opt)
+    t = sparse.adagrad(lr=0.05).init(t)
+    tier = TieredTable(t, evict_fraction=0.5, hot_watermark=0.5)
+
+    # seed the cold store directly, then promote
+    tier.import_cold(np.array([7, 9], np.int64),
+                     np.ones((2, tier.row_floats), np.float32),
+                     np.array([3, 3], np.uint32))
+    payload = tier.prepare(np.array([7, 9], np.int64),
+                           empty=int(t.empty), erase=True)
+    assert payload is not None
+    assert int(np.sum(payload["keys"] != int(t.empty))) == 2  # padded
+    t2 = tier.promote(t, payload)
+    keys = np.asarray(jax.device_get(t2.keys))
+    touched = np.asarray(jax.device_get(t2.touched))
+    for k in (7, 9):
+        (slot,) = np.nonzero(keys == k)
+        assert len(slot) == 1 and touched[slot[0]], k

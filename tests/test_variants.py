@@ -356,3 +356,61 @@ def test_simple_hash_table_insert_grows_past_capacity():
     rows, found = ht.lookup(keys)
     assert bool(found.all())
     np.testing.assert_array_equal(np.asarray(rows), np.asarray(vals))
+
+
+def test_simple_hash_table_admission_denied_does_not_grow():
+    """Round-5 review: a below-threshold key under Bloom admission is NOT
+    an insert failure — the grow-and-retry loop must not double capacity
+    per retry until the CBF crosses the threshold."""
+
+    from deeprec_tpu import config as cfg
+    from deeprec_tpu.embedding.variants import SimpleHashTable
+
+    ht = SimpleHashTable(
+        dim=4, capacity=64,
+        option=cfg.EmbeddingVariableOption(
+            init=cfg.InitializerOption(initializer="zeros"),
+            cbf_filter=cfg.CBFFilterOption(filter_freq=10,
+                                           max_element_size=1000)))
+    cap0 = ht._t.capacity
+    ht = ht.insert(jnp.arange(8, dtype=jnp.int32),
+                   jnp.ones((8, 4), jnp.float32))
+    assert ht._t.capacity == cap0, (cap0, ht._t.capacity)
+    assert ht.size == 0  # denied: nothing landed, and nothing grew
+
+
+def test_distributed_trainer_rejects_int32_group_overflow():
+    """Round-5 review: composed group keys that overflow int32 must fail
+    at construction on the sharded path too (make_tables already checks)."""
+
+    import dataclasses
+
+    import optax
+    from jax.sharding import Mesh
+
+    from deeprec_tpu.models import base as mbase, nn as mnn
+    from deeprec_tpu.optimizers import sparse as sp
+    from deeprec_tpu.parallel.trainer import DistributedTrainer
+
+    specs = {f"C{i}": mbase.TableSpec(name=f"C{i}", dim=4, group="g",
+                                      id_bits=30,
+                                      initial_capacity=1024)
+             for i in range(4)}  # 3 << 30 > int32 max
+
+    def init_params(key):
+        return {"mlp": mnn.mlp_init(key, 13 + 4 * 4, [8, 1])}
+
+    def fwd(params, batch, acts, train=True):
+        x = jnp.concatenate([batch["dense"]] + [acts[c] for c in specs],
+                            axis=1)
+        return mnn.mlp_apply(params["mlp"], x)[:, 0]
+
+    model = mbase.RecModel(name="overflow", table_specs=specs,
+                           init_params=init_params, forward=fwd)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    tr = DistributedTrainer(model=model, mesh=mesh,
+                            sparse_optimizer=sp.adagrad(lr=0.05),
+                            dense_tx=optax.adagrad(0.05),
+                            per_shard_capacity=256)
+    with pytest.raises(ValueError, match="overflows int32"):
+        tr.init_state(jax.random.PRNGKey(0))
