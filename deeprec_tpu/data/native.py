@@ -115,6 +115,8 @@ def lib() -> ctypes.CDLL:
         L.hkv_export.argtypes = [ctypes.c_void_p, ctypes.c_int64, i64p, u8p, u32p]
         L.hkv_compact.restype = ctypes.c_int64
         L.hkv_compact.argtypes = [ctypes.c_void_p]
+        L.hkv_io_errors.restype = ctypes.c_int64
+        L.hkv_io_errors.argtypes = [ctypes.c_void_p]
         _LIB = L
         return L
 
@@ -196,6 +198,14 @@ class HostKV:
     @property
     def log_bytes(self) -> int:
         return self._L.hkv_log_bytes(self._h)
+
+    @property
+    def io_errors(self) -> int:
+        """Cumulative failed SSD-log reads/writes (0 = healthy; growth
+        means disk trouble — evictions stay in DRAM, compactions abort
+        with the old log intact, short reads zero-fill; round-5 review)."""
+
+        return self._L.hkv_io_errors(self._h)
 
 
 def criteo_parse(buf: bytes, max_rows: int, nthreads: int = 0):

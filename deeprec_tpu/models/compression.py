@@ -10,7 +10,7 @@ user outputs — XLA sees the deduplicated computation directly.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ feeds the final logit layer (stacked-parallel structure, train.py).
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from deeprec_tpu import config as cfg
 from deeprec_tpu.models import base, nn
 
 EMB_DIM = 32

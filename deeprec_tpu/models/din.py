@@ -2,7 +2,12 @@
 
 Target-item and behavior-history embeddings share tables (item, category);
 the local activation unit attends history against the target; the pooled
-interest + target + context feed an MLP with Dice-like activations.
+interest + target + context feed a relu MLP.  (The reference's Dice
+activation carries batch-norm RUNNING statistics; this framework's
+forward is pure in params by design, so the stateless relu stands in —
+nn.dice_apply implements the Dice math for callers that thread their own
+stats.  DIN converges to its behavior generator's ceiling either way —
+BASELINE.md.)
 """
 
 from __future__ import annotations
@@ -10,7 +15,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from deeprec_tpu import config as cfg
 from deeprec_tpu.models import base, nn
 
 EMB_DIM = 32

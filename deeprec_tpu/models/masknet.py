@@ -33,7 +33,7 @@ def init_params(key):
     blocks = []
     d = in_dim
     for i in range(NUM_BLOCKS):
-        k1, k2, k3 = jax.random.split(ks[i], 3)
+        k1, k2 = jax.random.split(ks[i], 2)
         blocks.append({
             "ln": nn.layer_norm_init(d),
             "mask": nn.mlp_init(k1, in_dim, [MASK_AGG, d]),

@@ -93,18 +93,23 @@ def _mmoe_init(key):
     return {"experts": experts, "gates": gates, "towers": towers}
 
 
+def _gated_tower(params, t, x, es):
+    """softmax gate (f32 for stability) -> expert mix -> task tower — the
+    one mixing block MMoE and PLE share (round-5 review: the duplicate
+    copies could silently diverge)."""
+
+    g = jax.nn.softmax(
+        nn.dense_apply(params["gates"][t], x).astype(jnp.float32),
+        axis=-1).astype(es.dtype)                            # [B, E]
+    h = jnp.einsum("be,beh->bh", g, es)
+    return nn.mlp_apply(params["towers"][t], h)[:, 0]
+
+
 def _mmoe_forward(params, batch, acts, train=True):
     x = _input(batch, acts)
     es = jnp.stack([nn.mlp_apply(e, x, final_activation=jax.nn.relu)
                     for e in params["experts"]], axis=1)    # [B, E, H]
-    out = {}
-    for t in TASKS:
-        g = jax.nn.softmax(
-            nn.dense_apply(params["gates"][t], x).astype(jnp.float32),
-            axis=-1).astype(es.dtype)                        # [B, E]
-        h = jnp.einsum("be,beh->bh", g, es)
-        out[t] = nn.mlp_apply(params["towers"][t], h)[:, 0]
-    return out
+    return {t: _gated_tower(params, t, x, es) for t in TASKS}
 
 
 MMOE = base.RecModel(name="mmoe", table_specs=_specs(),
@@ -167,11 +172,7 @@ def _ple_forward(params, batch, acts, train=True):
         own = [nn.mlp_apply(e, x, final_activation=jax.nn.relu)
                for e in params["spec"][t]]
         es = jnp.stack(own + shared, axis=1)
-        g = jax.nn.softmax(
-            nn.dense_apply(params["gates"][t], x).astype(jnp.float32),
-            axis=-1).astype(es.dtype)
-        h = jnp.einsum("be,beh->bh", g, es)
-        out[t] = nn.mlp_apply(params["towers"][t], h)[:, 0]
+        out[t] = _gated_tower(params, t, x, es)
     return out
 
 

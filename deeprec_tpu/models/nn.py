@@ -9,7 +9,7 @@ optionally casts activations to bf16 (TPU MXU native) with f32 accumulation.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -120,9 +120,19 @@ def request_schema(model) -> Dict[str, Tuple[str, Optional[int]]]:
         if not getattr(spec, "bucket_boundaries", ()):
             cols = (list(spec.cross) if getattr(spec, "cross", ())
                     else [spec.feature or name])
-            cols += list(spec.shared_features)
-            for c in cols:
-                seq = spec.seq_len if (wide or c.startswith("hist")) else None
+            shared = set(spec.shared_features)
+            for c in cols + list(shared):
+                # a SHARED feature of a spec declaring seq_len > 1 is
+                # sequence-shaped by declaration (DIN's hist_item pattern
+                # — the spec's seq_len exists to size it); previously only
+                # the 'hist' name prefix triggered this, so a shared
+                # behavior column with any other name was mistyped scalar
+                # on the wire (round-5 review).  The PRIMARY column stays
+                # scalar unless sequence/multivalent say otherwise (DIN's
+                # target 'item' is scalar at seq_len=30).
+                is_wide = (wide or c.startswith("hist")
+                           or (c in shared and spec.seq_len > 1))
+                seq = spec.seq_len if is_wide else None
                 cur = out.get(c)
                 if cur is None or (cur[1] is None and seq is not None):
                     out[c] = ("int", seq)

@@ -79,6 +79,17 @@ int64_t criteo_parse(const char* buf, int64_t len, int64_t max_rows,
     const char* nl = static_cast<const char*>(
         memchr(p, '\n', static_cast<size_t>(end - p)));
     if (nl == nullptr) break;
+    // field-count validation (round-5 review): a blank or truncated line
+    // (double newline, corrupted row) used to parse as a phantom label-0
+    // example whose 26 categorical ids all hit id 0 — skewing the label
+    // prior and training id 0 on garbage.  A well-formed row has exactly
+    // 39 tabs (label + 13 dense + 26 cats); anything else is skipped.
+    int tabs = 0;
+    for (const char* t = p; t < nl; ++t) tabs += (*t == '\t');
+    if (tabs != 39) {
+      p = nl + 1;
+      continue;
+    }
     const char* q = p;
     bool miss;
     int32_t lab = 0;

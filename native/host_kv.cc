@@ -56,6 +56,7 @@ struct HostKV {
   std::string log_path;
   int64_t log_tail = 0;       // append offset
   int64_t log_live = 0;       // live bytes (for compaction trigger)
+  int64_t io_errors = 0;      // failed log writes/reads (round-5 review)
 
   int64_t cap() const { return static_cast<int64_t>(slots.size()); }
 };
@@ -119,18 +120,33 @@ int64_t dram_alloc(HostKV& kv) {
   return row;
 }
 
-void log_append(HostKV& kv, const uint8_t* row, int64_t* off_out) {
-  fseeko(kv.log, kv.log_tail, SEEK_SET);
-  fwrite(row, 1, static_cast<size_t>(kv.row_bytes), kv.log);
+// Returns false (and leaves kv state untouched) on a failed write — the
+// caller must then keep the row where it was.  Unchecked fwrite used to
+// let a disk-full eviction point a live slot at bytes that never landed
+// (round-5 review).
+bool log_append(HostKV& kv, const uint8_t* row, int64_t* off_out) {
+  if (fseeko(kv.log, kv.log_tail, SEEK_SET) != 0) {
+    kv.io_errors++;
+    return false;
+  }
+  size_t n = fwrite(row, 1, static_cast<size_t>(kv.row_bytes), kv.log);
+  if (n != static_cast<size_t>(kv.row_bytes)) {
+    kv.io_errors++;
+    return false;
+  }
   *off_out = kv.log_tail;
   kv.log_tail += kv.row_bytes;
   kv.log_live += kv.row_bytes;
+  return true;
 }
 
 void log_read(HostKV& kv, int64_t off, uint8_t* out) {
   fseeko(kv.log, off, SEEK_SET);
   size_t n = fread(out, 1, static_cast<size_t>(kv.row_bytes), kv.log);
-  if (n != static_cast<size_t>(kv.row_bytes)) memset(out, 0, kv.row_bytes);
+  if (n != static_cast<size_t>(kv.row_bytes)) {
+    kv.io_errors++;  // surfaced via hkv_io_errors — not a silent zero row
+    memset(out, 0, kv.row_bytes);
+  }
 }
 
 // Evict one DRAM row to the SSD log using CLOCK second-chance on freq.
@@ -142,9 +158,13 @@ void evict_one(HostKV& kv) {
     if (sidx < 0) continue;
     Slot& s = kv.slots[sidx];
     if (s.freq > 0) { s.freq >>= 1; continue; }   // second chance
-    // move row clock_hand to ssd
+    // move row clock_hand to ssd; on a failed write the row simply STAYS
+    // in DRAM (graceful degradation past max_dram_rows beats serving
+    // zeroed embeddings)
     int64_t off;
-    log_append(kv, kv.arena.data() + kv.clock_hand * kv.row_bytes, &off);
+    if (!log_append(kv, kv.arena.data() + kv.clock_hand * kv.row_bytes,
+                    &off))
+      return;
     s.loc = ~off;
     // compact arena: move last dram row into the hole
     int64_t last = kv.dram_rows - 1;
@@ -182,9 +202,13 @@ void hkv_destroy(void* h) {
 }
 
 // Enable the SSD tier: rows beyond max_dram_rows spill to an append-log.
+// Refuses a second call: re-opening with "w+b" would truncate the log
+// while live slots still hold offsets into it (every SSD-resident row
+// would then read back zeroed) and leak the old FILE* (round-5 review).
 int32_t hkv_enable_ssd(void* h, const char* path, int64_t max_dram_rows) {
   auto* kv = static_cast<HostKV*>(h);
   std::lock_guard<std::mutex> l(kv->mu);
+  if (kv->log) return -2;  // already enabled
   kv->log = fopen(path, "w+b");
   if (!kv->log) return -1;
   kv->log_path = path;
@@ -323,26 +347,56 @@ int64_t hkv_compact(void* h) {
   if (!kv->log) return 0;
   std::string tmp = kv->log_path + ".compact";
   FILE* nf = fopen(tmp.c_str(), "w+b");
-  if (!nf) return 0;
+  if (!nf) {
+    kv->io_errors++;
+    return 0;
+  }
+  // TRANSACTIONAL copy (round-5 review): write everything to the new log
+  // and verify BEFORE touching any slot offset or the old file — a
+  // disk-full mid-compact used to rewrite slot.loc into a truncated file
+  // and delete the old log, silently zeroing every SSD-resident row.
   int64_t off = 0;
   std::vector<uint8_t> row(kv->row_bytes);
+  std::vector<std::pair<Slot*, int64_t>> moves;
+  bool ok = true;
   for (Slot& s : kv->slots) {
     if (s.state != kLive || s.loc >= 0) continue;
     log_read(*kv, ~s.loc, row.data());
-    fseeko(nf, off, SEEK_SET);
-    fwrite(row.data(), 1, static_cast<size_t>(kv->row_bytes), nf);
-    s.loc = ~off;
+    if (fseeko(nf, off, SEEK_SET) != 0 ||
+        fwrite(row.data(), 1, static_cast<size_t>(kv->row_bytes), nf) !=
+            static_cast<size_t>(kv->row_bytes)) {
+      ok = false;
+      break;
+    }
+    moves.emplace_back(&s, ~off);
     off += kv->row_bytes;
   }
+  if (ok && fflush(nf) != 0) ok = false;
+  if (!ok) {
+    kv->io_errors++;
+    fclose(nf);
+    remove(tmp.c_str());
+    return 0;  // old log + offsets intact
+  }
+  // commit: install new offsets, then swap files
+  for (auto& m : moves) m.first->loc = m.second;
   int64_t reclaimed = kv->log_tail - off;
   fclose(kv->log);
-  fflush(nf);
   remove(kv->log_path.c_str());
-  rename(tmp.c_str(), kv->log_path.c_str());
+  if (rename(tmp.c_str(), kv->log_path.c_str()) != 0) kv->io_errors++;
   kv->log = nf;
   kv->log_tail = off;
   kv->log_live = off;
   return reclaimed;
+}
+
+// Cumulative failed log reads/writes — host-side observability for the
+// SSD tier (0 on a healthy store; a growing count means disk trouble and
+// possibly zero-filled cold reads).
+int64_t hkv_io_errors(void* h) {
+  auto* kv = static_cast<HostKV*>(h);
+  std::lock_guard<std::mutex> l(kv->mu);
+  return kv->io_errors;
 }
 
 }  // extern "C"

@@ -116,15 +116,31 @@ int process(void* model_buf, const void* input_data, int input_size,
   return rc;
 }
 
+// CONTRACT (round-5 review — make the array convention explicit):
+// ``input_data`` MUST be terminated by a nullptr entry; ``input_size``,
+// ``output_data`` and ``output_size`` must each have at least as many
+// entries as there are non-null inputs.  On success every output slot
+// holds a malloc'd buffer the caller frees.  On failure at request i the
+// return value is non-zero and every output slot from i onward is set to
+// {nullptr, 0} — slots [0, i) were filled and must still be freed by the
+// caller (no leaked or uninitialized pointers either way).
 int batch_process(void* model_buf, const void* input_data[], int* input_size,
                   void* output_data[], int* output_size) {
   // The python side batches internally (session lanes); the C surface
   // simply loops — parity with processor.h's signature.
-  if (!model_buf || !input_data) return -1;
+  if (!model_buf || !input_data || !input_size || !output_data ||
+      !output_size)
+    return -1;
   for (int i = 0; input_data[i] != nullptr; ++i) {
     int rc = process(model_buf, input_data[i], input_size[i],
                      &output_data[i], &output_size[i]);
-    if (rc != 0) return rc;
+    if (rc != 0) {
+      for (int j = i; input_data[j] != nullptr; ++j) {
+        output_data[j] = nullptr;
+        output_size[j] = 0;
+      }
+      return rc;
+    }
   }
   return 0;
 }

@@ -380,3 +380,19 @@ def test_prefetcher_close_does_not_hang_on_blocked_source(tmp_path):
     t0 = _time.monotonic()
     pf.close(timeout=0.5)
     assert _time.monotonic() - t0 < 5.0  # returned promptly
+
+
+def test_criteo_parser_skips_blank_and_truncated_lines():
+    """Round-5 review: blank/truncated lines must be SKIPPED, not parsed
+    as phantom label-0 examples with all-id-0 categoricals."""
+
+    from deeprec_tpu.data import native
+
+    good = ("1\t" + "\t".join(["2"] * 13) + "\t"
+            + "\t".join(["a1b2c3"] * 26) + "\n")
+    bad = "0\t1\t2\n"  # truncated: 3 fields
+    buf = ("\n" + good + "\n" + bad + good).encode()
+    labels, dense, cats, consumed = native.criteo_parse(buf, 100)
+    assert len(labels) == 2            # the two good rows only
+    assert consumed == len(buf)
+    assert (labels == 1).all()

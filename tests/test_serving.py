@@ -736,3 +736,26 @@ def test_feature_store_wrong_length_value_is_missing():
         fs.close()
     finally:
         srv.stop()
+
+
+def test_request_schema_shared_feature_seq_len_is_wide():
+    """Round-5 review: a shared feature of a spec declaring seq_len > 1 is
+    sequence-shaped on the wire even without the 'hist' name prefix; the
+    spec's primary column stays scalar."""
+
+    import dataclasses
+
+    from deeprec_tpu.models import get_model
+    from deeprec_tpu.serve.processor import request_schema
+
+    din = get_model("din")
+    schema = request_schema(din)
+    assert schema["item"][1] is None            # target: scalar
+    assert schema["hist_item"][1] == 30         # history: wide
+
+    # rename the shared feature away from the 'hist' prefix: still wide
+    specs = {n: (dataclasses.replace(s, shared_features=("clicks",))
+                 if n == "item" else s)
+             for n, s in din.table_specs.items()}
+    model2 = dataclasses.replace(din, table_specs=specs)
+    assert request_schema(model2)["clicks"][1] == 30

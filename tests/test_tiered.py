@@ -558,3 +558,22 @@ def test_promotion_marks_rows_touched_for_incremental_delta():
     for k in (7, 9):
         (slot,) = np.nonzero(keys == k)
         assert len(slot) == 1 and touched[slot[0]], k
+
+
+def test_host_kv_enable_ssd_twice_refused_and_io_errors_zero(tmp_path):
+    """Round-5 review: a second enable_ssd must not truncate the live log
+    (every SSD-resident row would read back zeroed); healthy stores report
+    io_errors == 0."""
+
+    kv = HostKV(row_floats=4, capacity_hint=64)
+    kv.enable_ssd(str(tmp_path / "log.bin"), max_dram_rows=10)
+    keys = np.arange(100, dtype=np.int64)
+    rows = np.tile(np.arange(100, dtype=np.float32)[:, None], (1, 4))
+    kv.upsert(keys, rows)
+    assert kv.log_bytes > 0
+    with pytest.raises(Exception):
+        kv.enable_ssd(str(tmp_path / "log2.bin"), max_dram_rows=5)
+    got, _, found = kv.lookup(keys)
+    assert found.all()
+    np.testing.assert_array_equal(got, rows)  # log intact
+    assert kv.io_errors == 0
