@@ -100,8 +100,9 @@ class GlobalStepEvictOption:
 
 @dataclasses.dataclass(frozen=True)
 class L2WeightEvictOption:
-    """Drop keys whose embedding L2 norm fell below threshold
-    (l2weight_shrink_policy.h)."""
+    """Drop keys whose half-squared L2 norm (0.5 * sum v^2) fell below
+    threshold — the reference's exact shrink rule
+    (l2weight_shrink_policy.h:52-57)."""
 
     l2_weight_threshold: float = -1.0
 

@@ -123,7 +123,9 @@ class LengthBucketedStream:
     are truncated to it — pad-to-max equivalence requires the last bucket
     to equal the generator's max).  Emits batches of exactly
     ``batch_size`` rows (default: the incoming batch size) as full buckets
-    fill; ``flush()`` drains the ragged remainders at end of stream."""
+    fill; at end of stream ragged remainders are emitted as smaller
+    final batches unless ``drop_remainder`` (no flush() method —
+    round-5 review corrected this docstring)."""
 
     it: Iterator[Dict]
     buckets: Sequence[int] = (8, 32, 50)

@@ -28,9 +28,41 @@ def _to_batch(labels, dense, cats) -> Dict:
     }
 
 
+def emit_rows(bufs: List, batch_size: int) -> Dict:
+    """Pop exactly ``batch_size`` rows off a deque of parsed row slabs
+    [(labels, dense, cats), ...] and return one batch dict.  The caller
+    guarantees the slabs hold >= batch_size rows.  Shared by CriteoTSV and
+    the ODL TailStream (round-5 review: the take/min/pop logic was
+    duplicated and could drift)."""
+
+    need = batch_size
+    out_l, out_d, out_c = [], [], []
+    while need > 0:
+        labels, dense, cats = bufs[0]
+        take = min(need, len(labels))
+        out_l.append(labels[:take])
+        out_d.append(dense[:take])
+        out_c.append(cats[:take])
+        if take == len(labels):
+            bufs.pop(0)
+        else:
+            bufs[0] = (labels[take:], dense[take:], cats[take:])
+        need -= take
+    return _to_batch(np.concatenate(out_l),
+                     np.concatenate(out_d),
+                     np.concatenate(out_c))
+
+
 @dataclasses.dataclass
 class CriteoTSV:
-    """Stream batches from Criteo-format TSV file(s) via the native parser."""
+    """Stream batches from Criteo-format TSV file(s) via the native parser.
+
+    Rows CARRY ACROSS file boundaries (and epochs under ``loop``): with 10
+    shard files of 3000 rows at batch 2048, every row trains — the old
+    per-file accounting silently dropped up to batch_size-1 trailing rows
+    at every boundary, ~31% of that dataset (round-5 review; the Parquet
+    reader already stitched across files).  Only the stream's FINAL
+    sub-batch remainder is dropped (fixed batch shapes)."""
 
     paths: Sequence[str]
     batch_size: int = 2048
@@ -38,18 +70,27 @@ class CriteoTSV:
     read_chunk: int = 8 << 20
 
     def __iter__(self) -> Iterator[Dict]:
+        bufs: List = []
+        have = 0
         while True:
             for path in self.paths:
-                yield from self._read_file(path)
+                for slab in self._parse_file(path):
+                    bufs.append(slab)
+                    have += len(slab[0])
+                    while have >= self.batch_size:
+                        yield emit_rows(bufs, self.batch_size)
+                        have -= self.batch_size
             if not self.loop:
                 return
 
-    def _read_file(self, path: str) -> Iterator[Dict]:
+    def _parse_file(self, path: str):
+        """Yield parsed row slabs (labels, dense, cats) for one file —
+        line reassembly (read-chunk carry) is per-file; row batching is
+        the caller's, so rows flow across file boundaries."""
+
         from deeprec_tpu.data import native
 
         carry = b""
-        bufs: List = []
-        have = 0
         with open(path, "rb") as f:
             while True:
                 chunk = f.read(self.read_chunk)
@@ -59,41 +100,14 @@ class CriteoTSV:
                 labels, dense, cats, consumed = native.criteo_parse(
                     data, max_rows=1 << 22)
                 carry = data[consumed:]
-                if len(labels) == 0:
-                    continue
-                bufs.append((labels, dense, cats))
-                have += len(labels)
-                while have >= self.batch_size:
-                    yield self._emit(bufs, have)
-                    have -= self.batch_size
-        # final partial lines (no trailing newline): parse remainder + \n
+                if len(labels):
+                    yield labels, dense, cats
+        # final partial line (no trailing newline): parse remainder + \n
         if carry.strip():
             labels, dense, cats, _ = native.criteo_parse(carry + b"\n",
                                                          max_rows=1 << 20)
             if len(labels):
-                bufs.append((labels, dense, cats))
-                have += len(labels)
-        while have >= self.batch_size:
-            yield self._emit(bufs, have)
-            have -= self.batch_size
-
-    def _emit(self, bufs: List, have: int) -> Dict:
-        need = self.batch_size
-        out_l, out_d, out_c = [], [], []
-        while need > 0:
-            labels, dense, cats = bufs[0]
-            take = min(need, len(labels))
-            out_l.append(labels[:take])
-            out_d.append(dense[:take])
-            out_c.append(cats[:take])
-            if take == len(labels):
-                bufs.pop(0)
-            else:
-                bufs[0] = (labels[take:], dense[take:], cats[take:])
-            need -= take
-        return _to_batch(np.concatenate(out_l),
-                         np.concatenate(out_d),
-                         np.concatenate(out_c))
+                yield labels, dense, cats
 
 
 @dataclasses.dataclass

@@ -89,9 +89,17 @@ class KafkaStream:
             while buf:
                 labels, dense, cats, consumed = native.criteo_parse(
                     buf, self.batch_size - n_pend)
-                if len(labels) == 0:
-                    break
+                if consumed == 0:
+                    break  # only a partial trailing line remains
+                # trim by consumed even when no VALID rows came back: the
+                # parser skips malformed/blank lines while advancing
+                # consumed, and breaking before the trim used to re-parse
+                # (and hold) the corrupt prefix forever — O(n^2) CPU and
+                # unbounded buffer growth on a misrouted topic (round-5
+                # review)
                 buf = buf[consumed:]
+                if len(labels) == 0:
+                    continue
                 pend.append((labels, dense, cats))
                 n_pend += len(labels)
                 if n_pend == self.batch_size:
@@ -205,19 +213,7 @@ class TailStream:
                     return
                 time.sleep(self.poll_secs)
             while have >= self.batch_size:
-                need = self.batch_size
-                out_l, out_d, out_c = [], [], []
-                while need > 0:
-                    l, d, cts = rows[0]
-                    take = min(need, len(l))
-                    out_l.append(l[:take])
-                    out_d.append(d[:take])
-                    out_c.append(cts[:take])
-                    if take == len(l):
-                        rows.pop(0)
-                    else:
-                        rows[0] = (l[take:], d[take:], cts[take:])
-                    need -= take
+                from deeprec_tpu.data.criteo import emit_rows
+
                 have -= self.batch_size
-                yield _to_batch(np.concatenate(out_l), np.concatenate(out_d),
-                                np.concatenate(out_c))
+                yield emit_rows(rows, self.batch_size)

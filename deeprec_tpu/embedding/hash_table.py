@@ -47,7 +47,9 @@ class BloomFilterAdmitStrategy:
     false_positive_probability: float = 0.01
 
     def to_option(self) -> cfg.CBFFilterOption:
-        # counter width: counts saturate; 1 byte suffices below 200, else i32
+        # counter width: int8 saturates at 127, so it only suffices when
+        # the admission threshold sits safely below that (round-5 review:
+        # the old comment said 200, which would deny 128..199 forever)
         dt = jnp.int8 if self.minimum_frequency < 100 else jnp.int32
         return cfg.CBFFilterOption(
             filter_freq=self.minimum_frequency,
@@ -95,8 +97,11 @@ class GlobalStepFilter:
 
 @dataclasses.dataclass(frozen=True)
 class L2WeightFilter:
-    """Drop keys whose embedding L2 norm fell below ``threshold``
-    (l2weight_shrink_policy.h via the hash-filter hook surface)."""
+    """Drop keys whose HALF-SQUARED L2 norm (0.5 * sum v^2) fell below
+    ``threshold`` — the reference's exact definition
+    (l2weight_shrink_policy.h:52-57), via the hash-filter hook surface;
+    identical thresholds now select identical keys here and in
+    L2WeightEvictOption (round-5 review)."""
 
     threshold: float
     filter_interval_steps: int = 1000
@@ -107,9 +112,9 @@ class L2WeightFilter:
 
     def mask(self, t: ev.EmbeddingTable, step) -> jnp.ndarray:
         live = t.keys != t.empty
-        norms = jnp.sqrt(jnp.sum(jnp.square(
-            t.values.astype(jnp.float32)), axis=1))
-        return live & (norms < self.threshold)
+        l2 = 0.5 * jnp.sum(jnp.square(t.values.astype(jnp.float32)),
+                           axis=1)
+        return live & (l2 < self.threshold)
 
 
 # ---------------------------------------------------------------------------

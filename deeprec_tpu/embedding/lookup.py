@@ -54,12 +54,17 @@ def lookup_all(
     step: jnp.ndarray | int = 0,
     train: bool = True,
 ) -> Tuple[Dict[str, ev.EmbeddingTable], Dict[str, ev.Lookup], Dict[str, jnp.ndarray]]:
-    """Resolve every feature's ids against its table; gather unique rows.
+    """Resolve every feature's ids against its table; gather PER-POSITION
+    rows.
 
     Returns (new_tables, lookups, gathered) where gathered[name] is the
-    [U, D] differentiation boundary.  Multiple features may share one table
-    (shared_embedding_columns) by listing the table name with a ``:`` suffix
-    convention handled by the caller.
+    [N, D] differentiation boundary — one row per batch position,
+    duplicates included (the v2 engine has no batch-level dedup; the
+    sparse apply sums duplicate gradients — see table.Lookup's design
+    note.  Round-5 review: this docstring used to promise unique [U, D]
+    rows).  Multiple features may share one table
+    (shared_embedding_columns) by listing the table name with a ``:``
+    suffix convention handled by the caller.
     """
 
     new_tables = dict(tables)

@@ -803,7 +803,11 @@ def evict_mask(table: EmbeddingTable, step) -> jnp.ndarray:
     """Which live slots the shrink policies would drop (shrink_policy.h).
 
     GlobalStepShrinkPolicy: ``step - version > steps_to_live``;
-    L2WeightShrinkPolicy: ``||value||^2 < l2_weight_threshold``.
+    L2WeightShrinkPolicy: ``0.5 * ||value||^2 < l2_weight_threshold`` —
+    the half-squared norm, matching the reference bit-for-bit
+    (l2weight_shrink_policy.h:52-57 ``l2_weight *= 0.5``); round-5 review
+    aligned the three L2 surfaces (this, hash_table.L2WeightFilter, the
+    config docstring) on that one definition.
     """
 
     live = table.keys != table.empty
@@ -815,7 +819,8 @@ def evict_mask(table: EmbeddingTable, step) -> jnp.ndarray:
             raise ValueError("global-step eviction requires record_version")
         mask = mask | (step - table.versions > opt.global_step_evict.steps_to_live)
     if opt.l2_weight_evict is not None and opt.l2_weight_evict.l2_weight_threshold > 0:
-        l2 = jnp.sum(jnp.square(table.values.astype(jnp.float32)), axis=-1)
+        l2 = 0.5 * jnp.sum(jnp.square(table.values.astype(jnp.float32)),
+                           axis=-1)
         mask = mask | (l2 < opt.l2_weight_evict.l2_weight_threshold)
     return mask & live
 

@@ -396,3 +396,43 @@ def test_criteo_parser_skips_blank_and_truncated_lines():
     assert len(labels) == 2            # the two good rows only
     assert consumed == len(buf)
     assert (labels == 1).all()
+
+
+def _tsv_line(label=1):
+    return (f"{label}\t" + "\t".join(["2"] * 13) + "\t"
+            + "\t".join(["a1b2c3"] * 26) + "\n")
+
+
+def test_criteo_tsv_rows_carry_across_file_boundaries(tmp_path):
+    """Round-5 review: per-file batch accounting dropped up to
+    batch_size-1 trailing rows at EVERY file boundary — 6 shard files of
+    5 rows at batch 8 used to yield ZERO batches; rows must flow across
+    files (only the stream-final remainder is dropped)."""
+
+    from deeprec_tpu.data.criteo import CriteoTSV
+
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"shard{i}.tsv"
+        p.write_text(_tsv_line() * 5)
+        paths.append(str(p))
+    batches = list(CriteoTSV(paths=paths, batch_size=8))
+    assert len(batches) == 3  # 30 rows -> 3 full batches (was 0)
+    assert all(b["label"].shape == (8,) for b in batches)
+
+
+def test_kafka_stream_survives_malformed_messages():
+    """Round-5 review: messages whose rows the parser skips (wrong field
+    count) must be TRIMMED from the buffer, not re-parsed forever — valid
+    rows arriving later still batch."""
+
+    from deeprec_tpu.data.kafka import FakeKafkaBroker, KafkaStream
+
+    broker = FakeKafkaBroker()
+    broker.produce("t", b"garbage\tnot\tcriteo\n" * 50)  # all skipped
+    broker.produce("t", (_tsv_line() * 8).encode())
+    stream = KafkaStream(topics=["t"], batch_size=8,
+                         consumer_factory=broker.consumer,
+                         max_empty_polls=3, poll_timeout=0)
+    batches = list(stream)
+    assert len(batches) == 1 and batches[0]["label"].shape == (8,)
