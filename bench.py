@@ -28,10 +28,8 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
     import optax
 
-    from deeprec_tpu import config as cfg
     from deeprec_tpu.data.criteo_proxy import CriteoKaggleProxy
     from deeprec_tpu.models import base, dlrm
     from deeprec_tpu.optimizers import sparse
@@ -39,8 +37,6 @@ def main():
 
     BATCH = 2048
     N_BATCHES = 64
-    WARMUP = 10
-    MEASURE = 40
     BASELINE = 141266.06
 
     model = dlrm.MODEL
@@ -63,8 +59,8 @@ def main():
     # Warmup: compile + settle table occupancy and capacity (every batch
     # seen once; dynamic growth doubles capacity until the live set fits).
     m = None
-    for i in range(max(WARMUP, N_BATCHES)):
-        state, m = trainer.train_step(state, batches[i % N_BATCHES])
+    for i in range(N_BATCHES):
+        state, m = trainer.train_step(state, batches[i])
         state = trainer.maybe_grow(state)
     _ = float(m["loss"])  # value readback: drains the execution queue
 
@@ -82,23 +78,18 @@ def main():
         _ = float(mm["loss"])
         return time.perf_counter() - t0
 
-    # Slope windows sized from a probe so the window difference dwarfs the
-    # ~30 ms tunnel round-trip noise regardless of step time.
-    est = window(8) / 8
-    w1 = min(2000, max(MEASURE // 4, int(0.8 / max(est, 1e-5))))
-    w2 = 4 * w1
-    value = 0.0
-    # R=3 full measurement passes, best-of (the per-config-minimum
-    # principle the ckpt bench uses): this box drifts ±45% across minutes,
-    # and a single pass inherits whatever phase it lands in — the best
-    # pass is the closest observable to the machine's capability
-    # (round-5 verdict #1a; reference anchors are converged best-case
-    # numbers, modelzoo/dlrm/README.md:164-197).
-    for _ in range(3):
-        t1 = window(w1)
-        t2 = window(w2)
-        per_step = max((t2 - t1) / (w2 - w1), 1e-9)
-        value = max(value, BATCH / per_step)
+    # Guarded slope timing (benchmarks/_slope.py): windows sized from a
+    # probe so the difference dwarfs the ~30 ms tunnel round-trip, with a
+    # cap against stall-corrupted probes; stall-inverted reps are skipped
+    # rather than clamped into the best-of.  R=3 full passes, best-of
+    # (the per-config-minimum principle the ckpt bench uses): this box
+    # drifts ±45% across minutes, and a single pass inherits whatever
+    # phase it lands in (round-5 verdict #1a; reference anchors are
+    # converged best-case numbers, modelzoo/dlrm/README.md:164-197).
+    from benchmarks._slope import best_throughput, probe_w1
+
+    w1 = probe_w1(window, floor=10)
+    value = best_throughput(window, w1, 4 * w1, BATCH, reps=3)
     print(json.dumps({
         "metric": "dlrm_criteo_train_examples_per_sec_per_chip",
         "value": round(value, 1),

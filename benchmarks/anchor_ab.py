@@ -71,9 +71,11 @@ def slope(leg, w1, w2):
         _ = float(mm["loss"])
         return time.perf_counter() - t0
 
-    t1 = window(w1)
-    t2 = window(w2)
-    per_step = max((t2 - t1) / (w2 - w1), 1e-9)
+    from benchmarks._slope import slope_per_step
+
+    per_step = slope_per_step(window, w1, w2)
+    if per_step is None:
+        return None  # stall-inverted rep: caller skips it
     return leg["batch"] / per_step
 
 
@@ -81,9 +83,12 @@ def main():
     print("building legs (uniform then proxy)...", flush=True)
     legs = {"uniform": build("uniform"), "proxy": build("proxy")}
 
-    # window sizing from a quick probe on the (slower) proxy leg
+    # window sizing from a quick probe on the (slower) proxy leg —
+    # CAPPED (benchmarks/_slope.probe_w1 rationale): a stall-corrupted
+    # probe must not blow the window into a multi-hour run
     est = slope(legs["proxy"], 4, 16)
-    w1 = max(10, int(0.8 / max(2048 / est, 1e-5)))
+    per = 2048 / est if est else 1e-3
+    w1 = min(2000, max(10, int(0.8 / max(per, 1e-4))))
     w2 = 4 * w1
     print(f"windows: w1={w1} w2={w2}", flush=True)
 
@@ -91,6 +96,9 @@ def main():
     for r in range(5):
         for name in ("uniform", "proxy"):
             v = slope(legs[name], w1, w2)
+            if v is None:
+                print(f"rep {r} {name}: stall-inverted, skipped", flush=True)
+                continue
             reps[name].append(round(v, 1))
             print(f"rep {r} {name}: {v/1e3:.1f}k ex/s", flush=True)
     best_u = max(reps["uniform"])

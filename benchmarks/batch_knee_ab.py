@@ -57,9 +57,10 @@ def slope(leg, w1, w2):
         _ = float(mm["loss"])
         return time.perf_counter() - t0
 
-    t1 = window(w1)
-    t2 = window(w2)
-    return leg["batch"] / max((t2 - t1) / (w2 - w1), 1e-9)
+    from benchmarks._slope import slope_per_step
+
+    per_step = slope_per_step(window, w1, w2)
+    return None if per_step is None else leg["batch"] / per_step
 
 
 def main():
@@ -68,11 +69,16 @@ def main():
         print(f"batch {b}: settled capacity 2^{leg['cap'].bit_length()-1}",
               flush=True)
     est = slope(legs[4096], 4, 16)
-    w1 = max(10, int(0.8 / max(4096 / est, 1e-5)))
+    per = 4096 / est if est else 1e-3
+    w1 = min(2000, max(10, int(0.8 / max(per, 1e-4))))
     reps = {b: [] for b in legs}
     for r in range(5):
         for b, leg in legs.items():
             v = slope(leg, w1, 4 * w1)
+            if v is None:
+                print(f"rep {r} batch {b}: stall-inverted, skipped",
+                      flush=True)
+                continue
             reps[b].append(round(v, 1))
             print(f"rep {r} batch {b}: {v/1e3:.1f}k ex/s", flush=True)
     out = {f"b{b}_reps": v for b, v in reps.items()}

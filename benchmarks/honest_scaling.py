@@ -56,10 +56,12 @@ def measure(batch, grow=True, capacity=2 ** 16, measure_steps=32,
 
     w1, w2 = measure_steps // 4, measure_steps
     best = 0.0
-    for _ in range(2):
+    for _ in range(3):
         t1 = window(w1)
         t2 = window(w2)
-        per_step = max((t2 - t1) / (w2 - w1), 1e-9)
+        per_step = (t2 - t1) / (w2 - w1)
+        if per_step <= 0:
+            continue  # stall-inverted rep: skip, never clamp into best-of
         best = max(best, batch / per_step)
     print(f"batch={batch:6d} cap=2^{cap.bit_length()-1:2d} "
           f"-> {best/1e3:9.1f}k ex/s ({1e3*batch/best:7.2f} ms/step)",

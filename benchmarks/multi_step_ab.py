@@ -93,13 +93,18 @@ def main():
             _ = float(losses[-1])
 
         est = window_unfused(8, box) / 8
-        w1 = max(8, int(0.6 / max(est, 1e-5)))
+        w1 = min(2000, max(8, int(0.6 / max(est, 1e-4))))
         w2 = 4 * w1
         res = {"unfused": [], 4: [], 8: []}
         for rep in range(4):
+            # skip stall-inverted slopes instead of letting a negative
+            # value win the min() best-of (round-5 review: one stalled
+            # readback used to poison or ZeroDivision the whole run)
             t1 = window_unfused(w1, box)
             t2 = window_unfused(w2, box)
-            res["unfused"].append((t2 - t1) / (w2 - w1))
+            p_u = (t2 - t1) / (w2 - w1)
+            if p_u > 0:
+                res["unfused"].append(p_u)
             for k, (fn, chunks) in fused.items():
                 def window_f(n):
                     mm = None
@@ -113,10 +118,12 @@ def main():
                 c2 = 4 * c1
                 t1 = window_f(c1)
                 t2 = window_f(c2)
-                res[k].append((t2 - t1) / ((c2 - c1) * k))
-            print(f"{name} rep {rep}: unfused {res['unfused'][-1]*1e3:.2f} "
-                  f"ms/step, k4 {res[4][-1]*1e3:.2f}, k8 {res[8][-1]*1e3:.2f}",
-                  flush=True)
+                p_f = (t2 - t1) / ((c2 - c1) * k)
+                if p_f > 0:
+                    res[k].append(p_f)
+            print(f"{name} rep {rep}: "
+                  + ", ".join(f"{k}: {v[-1]*1e3:.2f} ms/step"
+                              for k, v in res.items() if v), flush=True)
         out[name] = {
             "unfused_ms_best": round(min(res["unfused"]) * 1e3, 3),
             "fused4_ms_best": round(min(res[4]) * 1e3, 3),

@@ -65,13 +65,15 @@ def main():
 
         window(4)  # compile this bucket
         est = window(8) / 8
-        w1 = max(8, int(0.5 / max(est, 1e-5)))
+        w1 = min(4000, max(8, int(0.5 / max(est, 1e-4))))
         w2 = 4 * w1
         best = float("inf")
         for _ in range(3):
             t1 = window(w1)
             t2 = window(w2)
-            best = min(best, (t2 - t1) / (w2 - w1))
+            p_s = (t2 - t1) / (w2 - w1)
+            if p_s > 0:  # skip stall-inverted reps (round-5 review)
+                best = min(best, p_s)
         out[f"batch_{B}_ms"] = round(best * 1e3, 3)
         print(f"batch {B}: {best*1e3:.3f} ms/step device compute", flush=True)
     print(json.dumps(out, indent=1), flush=True)
